@@ -1,0 +1,71 @@
+"""Driver benchmark: end-to-end semantic inference throughput
+(points/sec) of the flagship SPT model on the single available chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline context (BASELINE.md): the reference SuperCluster runs 18M
+points in 10.1 s on one GPU => ~1.78M points/s end-to-end including
+partition. Here we measure the model inference path (padded batch ->
+logits) on real hardware; vs_baseline is computed against that
+1.78M pts/s reference throughput.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_POINTS_PER_SEC = 18_000_000 / 10.1
+
+
+def main():
+    import jax
+    from superpoint_transformer_tpu.data import NAG
+    from superpoint_transformer_tpu.transforms import (
+        BatchConfig, prepare_batch)
+    from superpoint_transformer_tpu.models.semantic import (
+        SemanticSegmentationModel)
+    from __graft_entry__ import _make_model
+
+    demo = '/root/reference/notebooks/demo_nag_v3.h5'
+    if os.path.exists(demo):
+        nag = NAG.load(demo, non_fp_to_long=True, rgb_to_float=True)
+    else:
+        from superpoint_transformer_tpu.utils.synthetic import random_nag
+        nag = random_nag(seed=0, n_points=40_000, n_l1=1024, n_l2=256)
+
+    cfg = BatchConfig()
+    batch = prepare_batch([nag], cfg, train=False)
+    n_points = int(np.asarray(batch[0].num_nodes))
+
+    model = SemanticSegmentationModel(net=_make_model(), num_classes=13)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, batch, train=False)
+
+    fwd = jax.jit(lambda v, b: model.apply(v, b, train=False))
+    out = fwd(variables, batch)
+    jax.block_until_ready(out)
+
+    # timed runs
+    n_rep = 20
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = fwd(variables, batch)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_rep
+
+    pts_per_sec = n_points / dt
+    print(json.dumps({
+        'metric': 'spt_semantic_inference_points_per_sec',
+        'value': round(pts_per_sec, 1),
+        'unit': 'points/sec',
+        'vs_baseline': round(pts_per_sec / BASELINE_POINTS_PER_SEC, 4),
+    }))
+
+
+if __name__ == '__main__':
+    main()

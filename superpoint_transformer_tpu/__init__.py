@@ -1,0 +1,5 @@
+"""superpoint_transformer_tpu — TPU-native (JAX/XLA/Pallas) framework
+with the capabilities of Superpoint Transformer (SPT / SuperCluster /
+EZ-SP). See ARCHITECTURE.md.
+"""
+__version__ = '0.1.0'

@@ -1,0 +1,306 @@
+"""Padded, static-shape device representation of a NAG batch.
+
+This is the host->device boundary of the framework: ragged `NAG`
+hierarchies (numpy) are converted once per batch into `PaddedNAG` — a
+pytree of fixed-capacity arrays + masks that every jitted computation
+consumes. Capacities are bucketed (powers of two by default) so pjit
+compiles a small, cached set of programs.
+
+Design notes (vs reference):
+  - the reference's scatter-softmax attention edge list
+    (src/nn/attention.py) becomes a dense `[N, K]` neighbor layout
+    (exact: K >= max degree, no edge dropped);
+  - levels are sorted by `super_index` so pooling/unpooling and
+    UnitSphereNorm run as sorted segment ops;
+  - padded child nodes carry `super_index == parent_capacity`, which
+    jax segment ops drop and gathers clamp harmlessly.
+"""
+from typing import Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from .nag import NAG
+from .csr import Cluster
+from ..ops.graph import edges_to_dense_neighbors
+
+__all__ = ['PaddedLevel', 'PaddedNAG', 'batch_nags', 'sort_nag_by_super',
+           'pad_nag', 'bucket']
+
+
+@struct.dataclass
+class PaddedLevel:
+    """One partition level, padded to static capacity N (and K dense
+    neighbor slots)."""
+    pos: jnp.ndarray                      # [N, 3] float32
+    node_mask: jnp.ndarray                # [N] bool
+    batch: jnp.ndarray                    # [N] int32 graph id (norms)
+    num_nodes: jnp.ndarray                # [] int32 actual count
+    x: Optional[jnp.ndarray] = None       # [N, Dx] handcrafted features
+    node_size: Optional[jnp.ndarray] = None   # [N] float32
+    super_index: Optional[jnp.ndarray] = None  # [N] int32 -> parent slot
+    nbr_idx: Optional[jnp.ndarray] = None      # [N, K] int32
+    nbr_mask: Optional[jnp.ndarray] = None     # [N, K] bool
+    edge_feat: Optional[jnp.ndarray] = None    # [N, K, De] float32
+    y: Optional[jnp.ndarray] = None       # [N, C+1] label histogram
+    v_edge_attr: Optional[jnp.ndarray] = None  # [N, Dv] vertical edge
+    obj_edge_index: Optional[jnp.ndarray] = None   # [2, Eo] (panoptic)
+    obj_edge_mask: Optional[jnp.ndarray] = None    # [Eo]
+    obj_edge_affinity: Optional[jnp.ndarray] = None  # [Eo] target
+
+    @property
+    def capacity(self):
+        return self.pos.shape[0]
+
+
+@struct.dataclass
+class PaddedNAG:
+    levels: Tuple[PaddedLevel, ...]
+    start_i_level: int = struct.field(pytree_node=False, default=0)
+    num_graphs: int = struct.field(pytree_node=False, default=1)
+
+    def __getitem__(self, i):
+        return self.levels[i - self.start_i_level]
+
+    @property
+    def num_levels(self):
+        return len(self.levels)
+
+    @property
+    def absolute_num_levels(self):
+        return self.start_i_level + len(self.levels)
+
+    @property
+    def end_i_level(self):
+        return self.absolute_num_levels - 1
+
+
+def bucket(n, mode='pow2', minimum=128):
+    """Round a count up to a bucketed static capacity."""
+    n = max(int(n), minimum)
+    if mode == 'pow2':
+        return 1 << (n - 1).bit_length()
+    if mode == 'exact':
+        return n
+    raise ValueError(mode)
+
+
+def batch_nags(nag_list):
+    """Collate a list of NAGs into one NAG with per-level index offsets
+    and a `batch` graph-id vector (reference NAGBatch.from_nag_list,
+    src/data/nag.py:879)."""
+    if len(nag_list) == 1:
+        nag = nag_list[0]
+        for i in nag.levels:
+            d = nag[i]
+            d['batch'] = np.zeros(d.num_nodes, dtype=np.int64)
+        return nag
+    start = nag_list[0].start_i_level
+    n_levels = nag_list[0].num_levels
+    out_levels = []
+    for li in range(n_levels):
+        i = start + li
+        datas = [nag[i] for nag in nag_list]
+        merged = _collate_level(datas, i, nag_list, start)
+        out_levels.append(merged)
+    return NAG(out_levels, start_i_level=start)
+
+
+def _collate_level(datas, i, nag_list, start):
+    from .data import Data
+    out = Data()
+    node_offsets = np.cumsum([0] + [d.num_nodes for d in datas])
+    # parent offsets for super_index
+    if i < nag_list[0].end_i_level:
+        parent_offsets = np.cumsum(
+            [0] + [nag[i + 1].num_nodes for nag in nag_list])
+    # child offsets for sub
+    if i > start:
+        child_offsets = np.cumsum(
+            [0] + [nag[i - 1].num_nodes for nag in nag_list])
+
+    keys = set()
+    for d in datas:
+        keys.update(d.keys())
+    for k in keys:
+        vals = [d.get(k) for d in datas]
+        if any(v is None for v in vals):
+            continue
+        if k == 'super_index':
+            out[k] = np.concatenate([
+                v.astype(np.int64) + parent_offsets[j]
+                for j, v in enumerate(vals)])
+        elif k == 'edge_index':
+            out[k] = np.concatenate([
+                v.astype(np.int64) + node_offsets[j]
+                for j, v in enumerate(vals)], axis=1)
+        elif k == 'obj_edge_index':
+            out[k] = np.concatenate([
+                v.astype(np.int64) + node_offsets[j]
+                for j, v in enumerate(vals)], axis=1)
+        elif k == 'sub':
+            ptr_off = np.cumsum([0] + [v.num_items for v in vals])
+            pointers = np.concatenate(
+                [vals[0].pointers.astype(np.int64)] + [
+                    v.pointers[1:].astype(np.int64) + ptr_off[j + 1]
+                    for j, v in enumerate(vals[1:])])
+            points = np.concatenate([
+                v.points.astype(np.int64) + child_offsets[j]
+                for j, v in enumerate(vals)])
+            out._store['sub'] = Cluster(pointers, points)
+        elif isinstance(vals[0], np.ndarray):
+            axis = 1 if vals[0].ndim == 2 and k == 'edge_index' else 0
+            out[k] = np.concatenate(
+                [np.asarray(v) for v in vals], axis=axis)
+        # non-array values (CSR/Instance) handled level by level later
+    out['batch'] = np.concatenate([
+        np.full(d.num_nodes, j, dtype=np.int64)
+        for j, d in enumerate(datas)])
+    return out
+
+
+def sort_nag_by_super(nag):
+    """Reorder each level's nodes so `super_index` is nondecreasing
+    (stable, preserves batch contiguity). Enables sorted segment ops
+    for pooling and UnitSphereNorm. Top-down so parent ids are final
+    before children sort against them."""
+    for i in range(nag.end_i_level - 1, nag.start_i_level - 1, -1):
+        d = nag[i]
+        if 'super_index' not in d:
+            continue
+        perm = np.argsort(d.super_index, kind='stable')
+        if np.array_equal(perm, np.arange(perm.shape[0])):
+            inv = perm
+        else:
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(perm.shape[0])
+            new_d, _ = d.select(perm)
+            nag[i] = new_d
+            d = new_d
+            # children point at level-i nodes: remap their super_index
+            if i > nag.start_i_level and 'super_index' in nag[i - 1]:
+                nag[i - 1]._store['super_index'] = \
+                    inv[nag[i - 1].super_index]
+        # rebuild parent's sub: children now contiguous per parent
+        parent = nag[i + 1]
+        counts = np.bincount(d.super_index, minlength=parent.num_nodes)
+        pointers = np.zeros(parent.num_nodes + 1, dtype=np.int64)
+        np.cumsum(counts, out=pointers[1:])
+        parent._store['sub'] = Cluster(
+            pointers, np.arange(d.num_nodes, dtype=np.int64))
+    return nag
+
+
+def pad_nag(nag, num_classes=None, node_caps=None, k_caps=None,
+            bucket_mode='pow2', with_edges_from=1):
+    """Convert a (batched, sorted, transform-complete) NAG into a
+    PaddedNAG of static-capacity jnp arrays.
+
+    :param num_classes: for converting int labels to histograms
+    :param node_caps: dict level->capacity override (else bucketed)
+    :param k_caps: dict level->K override for dense neighbors
+    :param with_edges_from: lowest level whose horizontal graph is
+        converted to dense neighbors (level 0 has no attention)
+    """
+    nag = sort_nag_by_super(nag)
+    levels = []
+    caps = {}
+    for i in nag.levels:
+        n = nag[i].num_nodes
+        cap = (node_caps or {}).get(i) or bucket(n, bucket_mode)
+        caps[i] = cap
+    num_graphs = 1
+    for i in nag.levels:
+        d = nag[i]
+        n = d.num_nodes
+        cap = caps[i]
+        pad = cap - n
+        assert pad >= 0, f"level {i}: {n} nodes > capacity {cap}"
+
+        def pad0(a, fill=0.0, dtype=None):
+            a = np.asarray(a)
+            if dtype is not None:
+                a = a.astype(dtype)
+            if pad == 0:
+                return a
+            width = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+            return np.pad(a, width, constant_values=fill)
+
+        pos = pad0(d.pos, dtype=np.float32)
+        mask = np.zeros(cap, dtype=bool)
+        mask[:n] = True
+        batch_vec = d.get('batch')
+        if batch_vec is None:
+            batch_vec = np.zeros(n, dtype=np.int64)
+        num_graphs = max(num_graphs, int(batch_vec.max()) + 1 if n else 1)
+        # padded nodes get a dedicated trailing graph id so graph-wise
+        # norms don't mix them with real graphs
+        batch_arr = np.full(cap, -1, dtype=np.int32)
+        batch_arr[:n] = batch_vec.astype(np.int32)
+
+        kw = {}
+        if 'x' in d:
+            kw['x'] = pad0(d.x, dtype=np.float32)
+        if 'node_size' in d:
+            kw['node_size'] = pad0(
+                d.node_size.reshape(-1), dtype=np.float32)
+        if 'super_index' in d and i < nag.end_i_level:
+            parent_cap = caps[i + 1]
+            si = np.full(cap, parent_cap, dtype=np.int32)
+            si[:n] = d.super_index.astype(np.int32)
+            kw['super_index'] = si
+        if 'v_edge_attr' in d:
+            kw['v_edge_attr'] = pad0(d.v_edge_attr, dtype=np.float32)
+        y = d.get('y')
+        if y is not None:
+            y = np.asarray(y)
+            if y.ndim == 1 and num_classes is not None:
+                yy = np.zeros((n, num_classes + 1), dtype=np.float32)
+                valid = (y >= 0) & (y <= num_classes)
+                yy[np.arange(n)[valid], y[valid]] = 1.0
+                y = yy
+            kw['y'] = pad0(y.astype(np.float32))
+
+        if i >= with_edges_from and 'edge_index' in d and d.num_edges > 0:
+            k_cap = (k_caps or {}).get(i)
+            nbr_idx, nbr_mask, edge_id = edges_to_dense_neighbors(
+                d.edge_index, n, k=k_cap)
+            K = nbr_idx.shape[1]
+            full_idx = np.zeros((cap, K), dtype=np.int32)
+            full_idx[:n] = nbr_idx
+            full_mask = np.zeros((cap, K), dtype=bool)
+            full_mask[:n] = nbr_mask
+            kw['nbr_idx'] = full_idx
+            kw['nbr_mask'] = full_mask
+            ea = d.get('edge_attr')
+            if ea is not None:
+                ef = np.zeros((cap, K, ea.shape[1]), dtype=np.float32)
+                ef[:n] = ea[edge_id] * nbr_mask[..., None]
+                kw['edge_feat'] = ef
+
+        if 'obj_edge_index' in d:
+            oe = d.obj_edge_index
+            e_cap = bucket(oe.shape[1], bucket_mode)
+            oei = np.zeros((2, e_cap), dtype=np.int32)
+            oei[:, :oe.shape[1]] = oe.astype(np.int32)
+            oem = np.zeros(e_cap, dtype=bool)
+            oem[:oe.shape[1]] = True
+            kw['obj_edge_index'] = oei
+            kw['obj_edge_mask'] = oem
+            aff = d.get('obj_edge_affinity')
+            if aff is not None:
+                oea = np.zeros(e_cap, dtype=np.float32)
+                oea[:aff.shape[0]] = aff.astype(np.float32)
+                kw['obj_edge_affinity'] = oea
+
+        levels.append(PaddedLevel(
+            pos=jnp.asarray(pos),
+            node_mask=jnp.asarray(mask),
+            batch=jnp.asarray(batch_arr),
+            num_nodes=jnp.asarray(n, dtype=jnp.int32),
+            **{k: jnp.asarray(v) for k, v in kw.items()}))
+
+    return PaddedNAG(levels=tuple(levels),
+                     start_i_level=nag.start_i_level,
+                     num_graphs=num_graphs)

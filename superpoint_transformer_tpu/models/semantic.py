@@ -1,0 +1,135 @@
+"""Semantic segmentation task harness (reference
+SemanticSegmentationModule, src/models/semantic.py:35): classifier
+head(s) on the SPT backbone, multi-stage histogram losses, confusion-
+matrix metrics, AdamW + cosine-warmup with differential transformer
+LR. Replaces the Lightning module with a functional train/eval step
+pair built around a flax TrainState.
+"""
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from flax.training import train_state
+
+from ..data.pad import PaddedNAG
+from ..loss.semantic import multi_stage_loss
+from ..metrics.semantic import confusion_matrix_from_histogram
+from ..optim.lr_scheduler import make_optimizer
+from ..nn.mlp import Classifier
+from .spt import SPT
+
+__all__ = ['SemanticSegmentationModel', 'SemanticTask', 'TrainState']
+
+
+class SemanticSegmentationModel(nn.Module):
+    """SPT backbone + one classifier head per supervised level
+    (reference semantic.py:194-199)."""
+    net: SPT
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, nag: PaddedNAG, train: bool = True):
+        outs = self.net(nag, train=train)
+        if isinstance(outs, (list, tuple)):
+            logits = [
+                Classifier(self.num_classes, name=f'head_{i}')(x)
+                for i, x in enumerate(outs)]
+        else:
+            logits = Classifier(self.num_classes, name='head')(outs)
+        return logits
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+@dataclass
+class SemanticTask:
+    """Functional task wrapper: holds static config, builds the model,
+    the optimizer and the jitted steps."""
+    net: SPT
+    num_classes: int = 13
+    loss_type: str = 'ce_kl'
+    multi_stage_loss_lambdas: Sequence[float] = (1., 50.)
+    weighted_loss: bool = True
+    lr: float = 0.01
+    weight_decay: float = 1e-4
+    transformer_lr_scale: float = 0.1
+    total_steps: int = 100_000
+    warmup_steps: int = 2_000
+    class_weight: Optional[np.ndarray] = None
+
+    def __post_init__(self):
+        self.model = SemanticSegmentationModel(
+            net=self.net, num_classes=self.num_classes)
+
+    # -- state ----------------------------------------------------------
+    def init_state(self, rng, example_batch):
+        variables = self.model.init(rng, example_batch, train=False)
+        params = variables['params']
+        tx = make_optimizer(
+            lr=self.lr, weight_decay=self.weight_decay,
+            transformer_lr_scale=self.transformer_lr_scale,
+            total_steps=self.total_steps,
+            num_warmup_steps=self.warmup_steps, params=params)
+        return TrainState.create(
+            apply_fn=self.model.apply, params=params, tx=tx,
+            batch_stats=variables.get('batch_stats'))
+
+    # -- loss -----------------------------------------------------------
+    def _loss_fn(self, params, batch, rng, train=True):
+        variables = {'params': params}
+        logits = self.model.apply(
+            variables, batch, train=train,
+            rngs={'dropout': rng} if train else None)
+        y_hists, masks = self._targets(batch)
+        cw = None
+        if self.class_weight is not None:
+            cw = jnp.asarray(self.class_weight, jnp.float32)
+        loss = multi_stage_loss(
+            logits, y_hists, self.multi_stage_loss_lambdas,
+            loss_type=self.loss_type, class_weight=cw,
+            node_masks=masks)
+        return loss, logits
+
+    def _targets(self, batch):
+        """Per supervised level: (y_hist, node_mask). Supervised levels
+        are 1..L matching the stage-wise outputs (reference
+        get_target, semantic.py:618)."""
+        n_out = len(self.multi_stage_loss_lambdas)
+        y_hists, masks = [], []
+        for i in range(n_out):
+            lvl = batch[1 + i]
+            y_hists.append(lvl.y)
+            masks.append(lvl.node_mask)
+        return y_hists, masks
+
+    # -- jitted steps ----------------------------------------------------
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state, batch, rng):
+        (loss, logits), grads = jax.value_and_grad(
+            self._loss_fn, has_aux=True)(state.params, batch, rng)
+        state = state.apply_gradients(grads=grads)
+        cm = confusion_matrix_from_histogram(
+            logits[0], batch[1].y, self.num_classes,
+            node_mask=batch[1].node_mask)
+        return state, {'loss': loss, 'confmat': cm}
+
+    @partial(jax.jit, static_argnums=0)
+    def eval_step(self, state, batch):
+        loss, logits = self._loss_fn(
+            state.params, batch, jax.random.PRNGKey(0), train=False)
+        cm = confusion_matrix_from_histogram(
+            logits[0], batch[1].y, self.num_classes,
+            node_mask=batch[1].node_mask)
+        return {'loss': loss, 'confmat': cm,
+                'logits_level1': logits[0]}
+
+    def predict(self, state, batch):
+        """Level-1 class predictions (argmax logits) on valid nodes."""
+        out = self.eval_step(state, batch)
+        return jnp.argmax(out['logits_level1'], axis=1)

@@ -1,0 +1,160 @@
+"""SelfAttentionBlock — the hot kernel, TPU-native.
+
+The reference (src/nn/attention.py:167-325) runs edge-list attention:
+gather q[s], k[t], v[t] per edge, add RPE encodings of the edge
+features, scatter-softmax over edges grouped by source, scatter-sum
+back to nodes. Scatters serialize on TPU; here the graph arrives in a
+dense padded-neighbor layout `nbr_idx/nbr_mask [N, K]` (built once per
+batch, exact — see data/pad.py) and the whole block is dense
+gather + einsum + masked softmax: pure MXU/VPU work.
+
+Math parity with the reference:
+  - qkv projection: Dense(dim -> 2*H*qk_dim + dim)
+  - qk scale 'd.g': 1/sqrt(qk_dim) * 1/sqrt(degree(source)); degree is
+    the true in-layout degree (the mask row-sum)
+  - k/q/v RPE: Linear on edge features, q may reuse k's encoder
+    (qk_share_rpe) or encode -edge_attr (q_on_minus_rpe)
+  - compat = <q_e, k_e> per head; softmax over each node's neighbors
+"""
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .mlp import xavier_uniform_gain
+
+__all__ = ['SelfAttentionBlock', 'dense_graph_attention']
+
+
+def qk_scale_from_degree(mode, qk_dim, degree):
+    """Reference build_qk_scale_func (src/utils/nn.py:80-120):
+    degree-and-dim-aware softmax temperature; degree [N]."""
+    D = float(qk_dim) ** -0.5
+    g = jnp.maximum(degree.astype(jnp.float32), 1.0)
+    G = g ** -0.5
+    if mode is None or mode in ('d.g', 'dg', 'gd', 'd*g', 'g*d', 'g.d'):
+        return D * G
+    if mode in ('d+g', 'g+d'):
+        return D + G
+    if mode == 'd':
+        return jnp.full_like(G, D)
+    if mode == 'g':
+        return G
+    if isinstance(mode, (int, float)):
+        return jnp.full_like(G, float(mode))
+    raise ValueError(f'Unknown qk_scale {mode}')
+
+
+def dense_graph_attention(q, k, v, nbr_idx, nbr_mask, scale):
+    """Core attention over dense neighbors.
+
+    :param q: [N, H, D] queries per node
+    :param k: [N, K, H, D] keys per (node, neighbor-slot) — already
+        gathered and RPE-augmented
+    :param v: [N, K, H, C] values per slot
+    :param nbr_mask: [N, K] slot validity
+    :param scale: [N] per-node softmax scale (applied to q)
+    :return: [N, H, C]
+    """
+    q = q * scale[:, None, None]
+    compat = jnp.einsum('nhd,nkhd->nkh', q, k)        # [N, K, H]
+    neg = jnp.asarray(-1e30, compat.dtype)
+    compat = jnp.where(nbr_mask[:, :, None], compat, neg)
+    attn = jax.nn.softmax(compat, axis=1)
+    attn = attn * nbr_mask[:, :, None].astype(attn.dtype)
+    return jnp.einsum('nkh,nkhc->nhc', attn, v)
+
+
+class SelfAttentionBlock(nn.Module):
+    dim: int
+    num_heads: int = 1
+    qkv_bias: bool = True
+    qk_dim: int = 8
+    qk_scale: Optional[str] = None
+    in_rpe_dim: int = 18
+    k_rpe: bool = False
+    q_rpe: bool = False
+    v_rpe: bool = False
+    qk_share_rpe: bool = False
+    q_on_minus_rpe: bool = False
+    heads_share_rpe: bool = False
+    attn_drop: Optional[float] = None
+    drop: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x, nbr_idx, nbr_mask, edge_feat=None, train=True):
+        """
+        :param x: [N, C] node features
+        :param nbr_idx: [N, K] neighbor (key/value source) node ids
+        :param nbr_mask: [N, K] validity
+        :param edge_feat: [N, K, De] edge features for RPE
+        """
+        N = x.shape[0]
+        K = nbr_idx.shape[1]
+        H, D, C = self.num_heads, self.qk_dim, self.dim
+        DH = D * H
+
+        qkv = nn.Dense(2 * DH + C, use_bias=self.qkv_bias,
+                       kernel_init=xavier_uniform_gain(), name='qkv')(x)
+        q = qkv[:, :DH].reshape(N, H, D)
+        k_nodes = qkv[:, DH:2 * DH]
+        v_nodes = qkv[:, 2 * DH:]
+
+        # Gather keys/values of the neighbors: [N, K, ...]
+        k = k_nodes[nbr_idx].reshape(N, K, H, D)
+        v = v_nodes[nbr_idx].reshape(N, K, H, C // H)
+
+        rpe_dim = D if self.heads_share_rpe else DH
+
+        def expand_heads(r):
+            if self.heads_share_rpe:
+                r = jnp.tile(r, (1, 1, H))
+            return r.reshape(N, K, H, D)
+
+        if self.k_rpe and edge_feat is not None:
+            k_enc = nn.Dense(rpe_dim, kernel_init=xavier_uniform_gain(),
+                             name='k_rpe')
+            k = k + expand_heads(k_enc(edge_feat))
+            if self.q_rpe and self.qk_share_rpe:
+                ef = -edge_feat if self.q_on_minus_rpe else edge_feat
+                q = q[:, None] + expand_heads(k_enc(ef))
+        if self.q_rpe and not (self.k_rpe and self.qk_share_rpe) \
+                and edge_feat is not None:
+            ef = -edge_feat if self.q_on_minus_rpe else edge_feat
+            q_enc = nn.Dense(rpe_dim, kernel_init=xavier_uniform_gain(),
+                             name='q_rpe')
+            q = q[:, None] + expand_heads(q_enc(ef))
+        if self.v_rpe and edge_feat is not None:
+            v_rpe_dim = C // H if self.heads_share_rpe else C
+            r = nn.Dense(v_rpe_dim, kernel_init=xavier_uniform_gain(),
+                         name='v_rpe')(edge_feat)
+            if self.heads_share_rpe:
+                r = jnp.tile(r, (1, 1, H))
+            v = v + r.reshape(N, K, H, C // H)
+
+        degree = nbr_mask.sum(axis=1)
+        scale = qk_scale_from_degree(self.qk_scale, D, degree)
+
+        if q.ndim == 3:  # no q RPE: broadcast over slots inside einsum
+            q = q * scale[:, None, None]
+            compat = jnp.einsum('nhd,nkhd->nkh', q, k)
+        else:            # q got per-edge RPE: [N, K, H, D]
+            q = q * scale[:, None, None, None]
+            compat = jnp.einsum('nkhd,nkhd->nkh', q, k)
+
+        neg = jnp.asarray(-1e30, compat.dtype)
+        compat = jnp.where(nbr_mask[:, :, None], compat, neg)
+        attn = jax.nn.softmax(compat, axis=1)
+        attn = attn * nbr_mask[:, :, None].astype(attn.dtype)
+        if self.attn_drop is not None and self.attn_drop > 0:
+            attn = nn.Dropout(self.attn_drop,
+                              deterministic=not train)(attn)
+
+        out = jnp.einsum('nkh,nkhc->nhc', attn, v).reshape(N, C)
+        out = nn.Dense(C, use_bias=True,
+                       kernel_init=xavier_uniform_gain(),
+                       name='out_proj')(out)
+        if self.drop is not None and self.drop > 0:
+            out = nn.Dropout(self.drop, deterministic=not train)(out)
+        return out

@@ -1,0 +1,231 @@
+"""Normalization layers (flax.linen), masked-and-padded equivalents of
+the reference's norms (src/nn/norm.py): GraphNorm / LayerNorm /
+InstanceNorm / GroupNorm / BatchNorm and the position-normalizing
+UnitSphereNorm.
+
+All index-based norms take `(x, batch, mask)` where `batch` is a graph
+id per node and `mask` flags real (non-padding) rows; statistics ignore
+padded rows, matching the reference's ragged semantics exactly.
+"""
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.segment import (
+    segment_mean, segment_sum, segment_count, segment_max, segment_min,
+    segment_mean_weighted)
+
+__all__ = ['GraphNorm', 'LayerNorm', 'InstanceNorm', 'GroupNorm',
+           'BatchNorm', 'UnitSphereNorm', 'INDEX_BASED_NORMS']
+
+
+def _masked(x, mask):
+    if mask is None:
+        return x, None
+    return x * mask[:, None].astype(x.dtype), mask
+
+
+class GraphNorm(nn.Module):
+    """PyG GraphNorm: per-graph mean (scaled by a learnable alpha) and
+    variance normalization + affine (reference uses this as the MLP /
+    FFN norm via configs/model/semantic/_attention.yaml)."""
+    num_features: int
+    num_graphs: int = 64  # static upper bound on graphs per batch
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, batch=None, mask=None):
+        C = self.num_features
+        weight = self.param('weight', nn.initializers.ones, (C,))
+        bias = self.param('bias', nn.initializers.zeros, (C,))
+        alpha = self.param('mean_scale', nn.initializers.ones, (C,))
+        if batch is None:
+            batch = jnp.zeros(x.shape[0], dtype=jnp.int32)
+        g = self.num_graphs
+        mean = segment_mean(x, batch, g, mask=mask)
+        out = x - alpha * mean[batch]
+        var = segment_mean(out * out, batch, g, mask=mask)
+        out = out / jnp.sqrt(var[batch] + self.eps)
+        return out * weight + bias
+
+
+class LayerNorm(nn.Module):
+    """PyG-style LayerNorm (graph mode): normalize each node's features
+    by per-graph statistics over all nodes and channels."""
+    num_features: int
+    num_graphs: int = 64
+    eps: float = 1e-5
+    mode: str = 'graph'
+
+    @nn.compact
+    def __call__(self, x, batch=None, mask=None):
+        C = self.num_features
+        weight = self.param('weight', nn.initializers.ones, (C,))
+        bias = self.param('bias', nn.initializers.zeros, (C,))
+        if self.mode == 'node':
+            mean = jnp.mean(x, axis=-1, keepdims=True)
+            var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+            out = (x - mean) / jnp.sqrt(var + self.eps)
+            return out * weight + bias
+        if batch is None:
+            batch = jnp.zeros(x.shape[0], dtype=jnp.int32)
+        g = self.num_graphs
+        n = segment_count(batch, g, mask=mask).astype(x.dtype) * C
+        n = jnp.maximum(n, 1)
+        xm, _ = _masked(x, mask)
+        mean = segment_sum(xm, batch, g).sum(-1) / n
+        out = x - mean[batch][:, None]
+        outm, _ = _masked(out, mask)
+        var = segment_sum(outm * outm, batch, g).sum(-1) / n
+        out = out / jnp.sqrt(var[batch][:, None] + self.eps)
+        return out * weight + bias
+
+
+class InstanceNorm(nn.Module):
+    """Per-graph, per-channel mean/var normalization."""
+    num_features: int
+    num_graphs: int = 64
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, batch=None, mask=None):
+        C = self.num_features
+        weight = self.param('weight', nn.initializers.ones, (C,))
+        bias = self.param('bias', nn.initializers.zeros, (C,))
+        if batch is None:
+            batch = jnp.zeros(x.shape[0], dtype=jnp.int32)
+        g = self.num_graphs
+        mean = segment_mean(x, batch, g, mask=mask)
+        out = x - mean[batch]
+        var = segment_mean(out * out, batch, g, mask=mask)
+        out = out / jnp.sqrt(var[batch] + self.eps)
+        return out * weight + bias
+
+
+class GroupNorm(nn.Module):
+    """Graph-wise group normalization (reference src/nn/norm.py:141)."""
+    num_features: int
+    num_groups: int = 4
+    num_graphs: int = 64
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, batch=None, mask=None):
+        C, G = self.num_features, self.num_groups
+        assert C % G == 0
+        weight = self.param('weight', nn.initializers.ones, (C,))
+        bias = self.param('bias', nn.initializers.zeros, (C,))
+        if batch is None:
+            batch = jnp.zeros(x.shape[0], dtype=jnp.int32)
+        gc = C // G
+        xg = x.reshape(-1, G, gc)
+        n = segment_count(batch, self.num_graphs, mask=mask)
+        norm = jnp.maximum(n, 1).astype(x.dtype) * gc
+        xm = xg * (mask[:, None, None].astype(x.dtype)
+                   if mask is not None else 1)
+        mean = segment_sum(xm, batch, self.num_graphs).sum(
+            -1, keepdims=True) / norm[:, None, None]
+        out = xg - mean[batch]
+        outm = out * (mask[:, None, None].astype(x.dtype)
+                      if mask is not None else 1)
+        var = segment_sum(outm * outm, batch, self.num_graphs).sum(
+            -1, keepdims=True) / norm[:, None, None]
+        out = out / jnp.sqrt(var[batch] + self.eps)
+        out = out.reshape(-1, C)
+        return out * weight + bias
+
+
+class BatchNorm(nn.Module):
+    """1D batch norm over nodes with running stats (reference
+    src/nn/norm.py:20). Padded rows excluded from statistics."""
+    num_features: int
+    momentum: float = 0.9
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, batch=None, mask=None, train: bool = True):
+        C = self.num_features
+        weight = self.param('weight', nn.initializers.ones, (C,))
+        bias = self.param('bias', nn.initializers.zeros, (C,))
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros(C))
+        ra_var = self.variable('batch_stats', 'var', lambda: jnp.ones(C))
+        if train:
+            if mask is not None:
+                m = mask.astype(x.dtype)[:, None]
+                n = jnp.maximum(m.sum(), 1)
+                mean = (x * m).sum(0) / n
+                var = ((x - mean) ** 2 * m).sum(0) / n
+            else:
+                mean = x.mean(0)
+                var = x.var(0)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        out = (x - mean) / jnp.sqrt(var + self.eps)
+        return out * weight + bias
+
+
+def unit_sphere_norm(pos, super_index, num_super, node_size=None,
+                     mask=None, log_diameter=False,
+                     indices_are_sorted=True):
+    """Normalize same-segment positions into a unit sphere of diameter
+    1; returns (normalized pos [N, 3], per-SEGMENT diameter
+    [num_super, 1]) (reference UnitSphereNorm, src/nn/norm.py:53).
+
+    Pure function (no parameters); padded nodes (mask False or
+    out-of-range super_index) contribute nothing.
+    """
+    big = jnp.asarray(jnp.finfo(pos.dtype).max, pos.dtype)
+    p = pos
+    if mask is not None:
+        # exile padded rows so they never win min/max
+        p_for_min = jnp.where(mask[:, None], pos, big)
+        p_for_max = jnp.where(mask[:, None], pos, -big)
+    else:
+        p_for_min = p_for_max = pos
+    mn = segment_min(p_for_min, super_index, num_super,
+                     indices_are_sorted=indices_are_sorted)
+    mx = segment_max(p_for_max, super_index, num_super,
+                     indices_are_sorted=indices_are_sorted)
+    # empty segments produce +/-inf fillers; zero them
+    valid_seg = mx[:, 0] > -big * 0.5
+    diameter = jnp.where(valid_seg, (mx - mn).max(axis=1), 0.0)
+
+    if node_size is None:
+        center = segment_mean(pos, super_index, num_super,
+                              indices_are_sorted=indices_are_sorted,
+                              mask=mask)
+    else:
+        w = node_size
+        if mask is not None:
+            w = w * mask.astype(w.dtype)
+        center = segment_mean_weighted(
+            pos, super_index, w, num_super,
+            indices_are_sorted=indices_are_sorted)
+    si = jnp.clip(super_index, 0, num_super - 1)
+    out = (pos - center[si]) / (diameter[si][:, None] + 1e-2)
+    d = diameter[:, None]
+    if log_diameter:
+        d = jnp.log(d + 1)
+    return out, d
+
+
+class UnitSphereNorm(nn.Module):
+    """Module wrapper over `unit_sphere_norm` for API parity."""
+    log_diameter: bool = False
+
+    def __call__(self, pos, super_index, num_super, node_size=None,
+                 mask=None):
+        return unit_sphere_norm(
+            pos, super_index, num_super, node_size=node_size, mask=mask,
+            log_diameter=self.log_diameter)
+
+
+INDEX_BASED_NORMS = (GraphNorm, LayerNorm, InstanceNorm, GroupNorm)

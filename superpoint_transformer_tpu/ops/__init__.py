@@ -1,0 +1,3 @@
+from .segment import *
+from .graph import *
+from .geometry import *

@@ -1,0 +1,153 @@
+"""Graph layout ops: edge-list <-> CSR <-> dense padded neighbors.
+
+TPU-native core: the reference runs scatter-softmax attention over an
+edge list (src/nn/attention.py). Here edges are converted once per
+batch to a dense `[N, K]` neighbor layout so attention is dense
+gathers + masked softmax (no scatters in the hot loop).
+
+Host (numpy) variants are used during batch preparation; jax variants
+for in-jit graph manipulation.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = [
+    'edges_to_dense_neighbors', 'add_self_loops_np', 'untrim_edges_np',
+    'to_trimmed_np', 'isolated_nodes_np', 'forward_star_np',
+]
+
+
+def forward_star_np(source, num_nodes):
+    """Sort edges by source node; return (perm, pointers) such that
+    edge perm[pointers[i]:pointers[i+1]] have source i. Equivalent to
+    the reference's grid_graph.edge_list_to_forward_star
+    (src/transforms/partition.py:190)."""
+    perm = np.argsort(source, kind='stable')
+    counts = np.bincount(source, minlength=num_nodes)
+    pointers = np.zeros(num_nodes + 1, dtype=np.int64)
+    np.cumsum(counts, out=pointers[1:])
+    return perm, pointers
+
+
+def edges_to_dense_neighbors(edge_index, num_nodes, k=None, bucket=8):
+    """Convert an edge list [2, E] (source=querying node) to dense
+    padded neighbor arrays.
+
+    Returns (nbr_idx [N,K] int32, nbr_mask [N,K] bool, edge_id [N,K]
+    int32) where edge_id maps each dense slot back to its edge row (for
+    gathering edge features); padded slots point at edge 0 / node 0 with
+    mask False.
+
+    K is max degree rounded up to a multiple of `bucket` (or the given
+    `k`); exact — no edge is dropped (if k is provided and smaller than
+    max degree, an error is raised).
+    """
+    source = np.asarray(edge_index[0])
+    target = np.asarray(edge_index[1])
+    E = source.shape[0]
+    perm, pointers = forward_star_np(source, num_nodes)
+    deg = (pointers[1:] - pointers[:-1]).astype(np.int64)
+    max_deg = int(deg.max()) if E > 0 else 0
+    if k is None:
+        k = max(_round_up(max_deg, bucket), bucket)
+    elif max_deg > k:
+        raise ValueError(f"max degree {max_deg} exceeds requested K={k}")
+
+    nbr_idx = np.zeros((num_nodes, k), dtype=np.int32)
+    nbr_mask = np.zeros((num_nodes, k), dtype=bool)
+    edge_id = np.zeros((num_nodes, k), dtype=np.int32)
+
+    if E > 0:
+        # rank of each (sorted) edge within its source's neighborhood
+        src_sorted = source[perm]
+        rank = np.arange(E, dtype=np.int64) - pointers[src_sorted]
+        nbr_idx[src_sorted, rank] = target[perm].astype(np.int32)
+        edge_id[src_sorted, rank] = perm.astype(np.int32)
+        nbr_mask[src_sorted, rank] = True
+    return nbr_idx, nbr_mask, edge_id
+
+
+def add_self_loops_np(edge_index, edge_attr, num_nodes, fill_value=0.0):
+    """Add i->i edges for all nodes (reference NAGAddSelfLoops,
+    src/transforms/graph.py:1419: self-loop edge_attr = 0)."""
+    loops = np.arange(num_nodes, dtype=edge_index.dtype)
+    ei = np.concatenate([edge_index, np.stack([loops, loops])], axis=1)
+    if edge_attr is not None:
+        ea = np.concatenate([
+            edge_attr,
+            np.full((num_nodes, edge_attr.shape[1]), fill_value,
+                    dtype=edge_attr.dtype)], axis=0)
+    else:
+        ea = None
+    return ei, ea
+
+
+def untrim_edges_np(edge_index, edge_attr=None):
+    """Turn a trimmed (i<j unique) graph into a bidirectional one:
+    every i->j edge produces j->i too (reference
+    OnTheFlyHorizontalEdgeFeatures untrimming, src/transforms/graph.py)."""
+    ei = np.concatenate([edge_index, edge_index[::-1]], axis=1)
+    if edge_attr is None:
+        return ei, None
+    return ei, np.concatenate([edge_attr, edge_attr], axis=0)
+
+
+def to_trimmed_np(edge_index, edge_attr=None, reduce='mean'):
+    """Reduce a graph to its unique i<j edges (reference
+    Data.to_trimmed, src/data/data.py:563): flip edges so source<target,
+    remove self loops, merge duplicates (reducing edge_attr)."""
+    s, t = edge_index[0].copy(), edge_index[1].copy()
+    flip = s > t
+    s[flip], t[flip] = t[flip], s[flip]
+    keep = s != t
+    s, t = s[keep], t[keep]
+    if edge_attr is not None:
+        edge_attr = edge_attr[keep]
+    # unique by (s, t)
+    key = s.astype(np.int64) * (int(max(t.max(), s.max())) + 1 if s.size
+                                else 1) + t.astype(np.int64)
+    uniq, inv = np.unique(key, return_inverse=True)
+    n = uniq.shape[0]
+    first = np.zeros(n, dtype=np.int64)
+    # first occurrence index for s/t reconstruction
+    order = np.argsort(inv, kind='stable')
+    starts = np.searchsorted(inv[order], np.arange(n))
+    first = order[starts]
+    out_ei = np.stack([s[first], t[first]])
+    if edge_attr is None:
+        return out_ei, None
+    if reduce == 'mean':
+        acc = np.zeros((n, edge_attr.shape[1]), dtype=np.float64)
+        np.add.at(acc, inv, edge_attr)
+        cnt = np.bincount(inv, minlength=n).astype(np.float64)
+        out_ea = (acc / cnt[:, None]).astype(edge_attr.dtype)
+    elif reduce == 'sum':
+        acc = np.zeros((n, edge_attr.shape[1]), dtype=edge_attr.dtype)
+        np.add.at(acc, inv, edge_attr)
+        out_ea = acc
+    elif reduce in ('max', 'min'):
+        op = np.maximum if reduce == 'max' else np.minimum
+        init = -np.inf if reduce == 'max' else np.inf
+        acc = np.full((n, edge_attr.shape[1]), init, dtype=np.float64)
+        getattr(np, f'{op.__name__}'.replace('imum', 'imum'))  # noop
+        if reduce == 'max':
+            np.maximum.at(acc, inv, edge_attr)
+        else:
+            np.minimum.at(acc, inv, edge_attr)
+        out_ea = acc.astype(edge_attr.dtype)
+    else:
+        raise ValueError(f"Unknown reduce={reduce}")
+    return out_ei, out_ea
+
+
+def isolated_nodes_np(edge_index, num_nodes):
+    """Boolean mask of nodes with no incident edge (reference
+    src/utils/graph.py isolated_nodes)."""
+    mask = np.ones(num_nodes, dtype=bool)
+    mask[edge_index[0]] = False
+    mask[edge_index[1]] = False
+    return mask
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m

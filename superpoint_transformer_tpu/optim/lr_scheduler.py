@@ -1,0 +1,77 @@
+"""Optimizer and LR schedule construction with optax (reference
+src/optim/lr_scheduler.py: CosineAnnealingLRWithWarmup is the default,
+configs/model/semantic/default.yaml:31-37; differential transformer LR
+mirrors SemanticSegmentationModule.configure_optimizers,
+src/models/semantic.py:1245-1268).
+"""
+from typing import Optional
+
+import jax
+import optax
+
+__all__ = ['cosine_with_warmup', 'make_optimizer']
+
+
+def cosine_with_warmup(lr, total_steps, num_warmup_steps,
+                       warmup_init_lr=1e-6, eta_min=1e-6,
+                       warmup_strategy='cos'):
+    """CosineAnnealingLRWithWarmup: warmup from `warmup_init_lr` to
+    `lr` over `num_warmup_steps` ('cos' or 'linear' shape), then
+    cosine-anneal to `eta_min` over the remaining steps."""
+    import jax.numpy as jnp
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        w = jnp.asarray(num_warmup_steps, jnp.float32)
+        t = jnp.asarray(total_steps, jnp.float32)
+        if warmup_strategy == 'linear':
+            frac = jnp.clip(step / jnp.maximum(w, 1), 0, 1)
+        else:  # 'cos'
+            frac = 0.5 * (1 - jnp.cos(
+                jnp.pi * jnp.clip(step / jnp.maximum(w, 1), 0, 1)))
+        warm = warmup_init_lr + (lr - warmup_init_lr) * frac
+        progress = jnp.clip(
+            (step - w) / jnp.maximum(t - w, 1), 0, 1)
+        cos = eta_min + (lr - eta_min) * 0.5 * (
+            1 + jnp.cos(jnp.pi * progress))
+        return jnp.where(step < w, warm, cos)
+
+    return schedule
+
+
+def _is_transformer_param(path):
+    """Transformer & pool params get a scaled LR (reference
+    configure_optimizers: names containing 'transformer_blocks' or
+    'down_pool_block'). In our module tree these live under block_*/sa
+    and down_pool_block."""
+    keys = [getattr(p, 'key', str(p)) for p in path]
+    joined = '/'.join(str(k) for k in keys)
+    return ('block_' in joined and ('/sa/' in joined + '/'
+                                    or joined.endswith('/sa'))) \
+        or 'down_pool_block' in joined
+
+
+def make_optimizer(lr=0.01, weight_decay=1e-4, transformer_lr_scale=0.1,
+                   total_steps=100_000, num_warmup_steps=2_000,
+                   warmup_init_lr=1e-6, eta_min=1e-6, params=None):
+    """AdamW with cosine-warmup schedule; attention parameters run at
+    `transformer_lr_scale * lr` (reference semantic.py:1245-1268)."""
+    base_sched = cosine_with_warmup(
+        lr, total_steps, num_warmup_steps,
+        warmup_init_lr=warmup_init_lr, eta_min=eta_min)
+    tr_sched = cosine_with_warmup(
+        lr * transformer_lr_scale, total_steps, num_warmup_steps,
+        warmup_init_lr=warmup_init_lr, eta_min=eta_min)
+
+    def adamw(sched):
+        return optax.adamw(sched, weight_decay=weight_decay)
+
+    if params is None:
+        return adamw(base_sched)
+
+    labels = jax.tree_util.tree_map_with_path(
+        lambda path, _: 'transformer' if _is_transformer_param(path)
+        else 'base', params)
+    return optax.multi_transform(
+        {'base': adamw(base_sched), 'transformer': adamw(tr_sched)},
+        labels)

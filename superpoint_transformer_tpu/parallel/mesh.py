@@ -1,0 +1,84 @@
+"""Data-parallel training over a device mesh.
+
+The reference scales with Lightning DDP (configs/trainer/ddp.yaml;
+metric reduction via all_gather at src/models/semantic.py:949). The
+TPU-native equivalent: a 1-D ('data',) `jax.sharding.Mesh`; each
+device holds one padded NAG batch (leading device axis on every leaf),
+`shard_map` runs the per-device loss/grad, gradients and confusion
+matrices are `psum`-reduced over ICI, and the optimizer update is
+computed redundantly on all devices (fully-replicated params).
+"""
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+__all__ = ['make_data_mesh', 'stack_batches', 'shard_batch',
+           'make_dp_train_step']
+
+
+def make_data_mesh(devices=None):
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), axis_names=('data',))
+
+
+def stack_batches(padded_batches):
+    """Stack D same-capacity PaddedNAGs along a new leading device
+    axis. All leaves must agree in shape (use fixed node_caps/k_caps
+    in BatchConfig to guarantee this)."""
+    return jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]),
+        *padded_batches)
+
+
+def shard_batch(stacked, mesh):
+    """Place a stacked batch so its leading axis is split over the
+    'data' mesh axis."""
+    sharding = jax.sharding.NamedSharding(mesh, P('data'))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, sharding if np.ndim(x) > 0 else
+            jax.sharding.NamedSharding(mesh, P())), stacked)
+
+
+def make_dp_train_step(task, mesh):
+    """Build the pjit-ted data-parallel train step for a SemanticTask.
+
+    Per device: drop the leading axis (local shard is [1, ...]),
+    compute loss/grads on the local batch, psum grads + metrics over
+    'data', apply the optimizer on replicated params.
+    """
+
+    def per_device(state, batch, rng):
+        local = jax.tree_util.tree_map(
+            lambda x: x[0] if jnp.ndim(x) > 0 else x, batch)
+        my = jax.lax.axis_index('data')
+        step_rng = jax.random.fold_in(rng, my)
+        (loss, logits), grads = jax.value_and_grad(
+            task._loss_fn, has_aux=True)(
+            state.params, local, step_rng)
+        grads = jax.lax.pmean(grads, 'data')
+        loss = jax.lax.pmean(loss, 'data')
+        from ..metrics.semantic import confusion_matrix_from_histogram
+        cm = confusion_matrix_from_histogram(
+            logits[0], local[1].y, task.num_classes,
+            node_mask=local[1].node_mask)
+        cm = jax.lax.psum(cm, 'data')
+        new_state = state.apply_gradients(grads=grads)
+        return new_state, {'loss': loss, 'confmat': cm}
+
+    sharded = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P('data'), P()),
+        out_specs=(P(), P()),
+        check_rep=False)
+
+    @jax.jit
+    def step(state, stacked_batch, rng):
+        return sharded(state, stacked_batch, rng)
+
+    return step

@@ -1,0 +1,118 @@
+"""Batch preparation: loaded NAGs -> augmented, feature-complete,
+padded device batch. This is the host-side mirror of the reference's
+`on_device_train_transform` / `on_device_val_transform` pipelines
+(configs/datamodule/semantic/default.yaml:206-428) followed by padding.
+"""
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from ..data.nag import NAG
+from ..data.pad import batch_nags, pad_nag, PaddedNAG
+from . import runtime as T
+
+__all__ = ['BatchConfig', 'prepare_batch']
+
+
+@dataclass
+class BatchConfig:
+    """Mirrors the reference datamodule config knobs that shape a
+    training batch (configs/datamodule/semantic/s3dis.yaml)."""
+    num_classes: int = 13
+    point_hf: Sequence[str] = ('linearity', 'planarity', 'scattering',
+                               'verticality', 'elevation', 'rgb')
+    segment_hf: Sequence[str] = ()
+    edge_hf: Sequence[str] = T.H_EDGE_KEYS_DEFAULT
+    v_edge_hf: Sequence[str] = ()
+    use_mean_normal: bool = False
+
+    # sampling
+    sample_point_min: int = 32
+    sample_point_max: int = 128
+    sample_graph_r: float = 7.0
+    sample_graph_k: int = 4
+    sample_graph_max_nodes: int = 10000
+    sample_segment_ratio: float = 0.1
+    sample_segment_by_size: bool = True
+    sample_edge_n_max: int = -1
+    max_num_nodes: int = 50000
+    max_num_edges: int = 1000000
+
+    # augmentations
+    pos_jitter: float = 0.03
+    voxel: float = 0.03
+    tilt_n_rotate_phi: float = 0.1
+    tilt_n_rotate_theta: float = 180
+    anisotropic_scaling: float = 0.2
+    node_feat_jitter: float = 0.01
+    h_edge_feat_jitter: float = 0.01
+    rgb_autocontrast: float = 0.5
+    rgb_drop: float = 0.3
+
+    # padding
+    node_caps: Optional[Dict[int, int]] = None
+    k_caps: Optional[Dict[int, int]] = None
+    bucket_mode: str = 'pow2'
+    nano: bool = False
+
+
+def prepare_batch(nag_list, cfg: BatchConfig, train=True, rng=None):
+    """Full batch-prep: augment+sample each NAG, build features, batch,
+    pad. Returns a PaddedNAG ready for the jitted step."""
+    rng = rng or np.random.default_rng()
+    processed = []
+    for nag in nag_list:
+        nag = nag.clone()
+        nag = T.node_size(nag, low=0 if not cfg.nano else 1)
+        if train:
+            nag = T.sample_sub_nodes(
+                nag, rng, low=nag.start_i_level,
+                high=nag.start_i_level + 1,
+                n_min=cfg.sample_point_min, n_max=cfg.sample_point_max)
+            if cfg.sample_graph_r > 0:
+                nag = T.sample_radius_subgraphs(
+                    nag, rng, r=cfg.sample_graph_r,
+                    k=cfg.sample_graph_k, i_level=1,
+                    k_max=cfg.sample_graph_max_nodes)
+            if cfg.sample_segment_ratio > 0:
+                nag = T.sample_segments(
+                    nag, rng, ratio=cfg.sample_segment_ratio,
+                    by_size=cfg.sample_segment_by_size)
+            nag = T.restrict_size(nag, rng, num_nodes=cfg.max_num_nodes)
+            nag = T.jitter_key(nag, rng, key='pos',
+                               sigma=cfg.pos_jitter, trunc=cfg.voxel)
+            nag = T.random_tilt_and_rotate(
+                nag, rng, phi=cfg.tilt_n_rotate_phi,
+                theta=cfg.tilt_n_rotate_theta)
+            nag = T.random_anisotropic_scale(
+                nag, rng, delta=cfg.anisotropic_scaling)
+            nag = T.random_axis_flip(nag, rng, p=0.5)
+        nag = T.on_the_fly_horizontal_edge_features(
+            nag, keys=cfg.edge_hf, use_mean_normal=cfg.use_mean_normal)
+        if cfg.v_edge_hf:
+            nag = T.on_the_fly_vertical_edge_features(
+                nag, keys=cfg.v_edge_hf,
+                use_mean_normal=cfg.use_mean_normal)
+        if train and cfg.sample_edge_n_max > 0:
+            nag = T.sample_edges(nag, rng, n_max=cfg.sample_edge_n_max)
+        if train:
+            nag = T.restrict_size(nag, rng, num_edges=cfg.max_num_edges)
+            nag = T.jitter_key(nag, rng, key='edge_attr',
+                               sigma=cfg.h_edge_feat_jitter,
+                               trunc=2 * cfg.h_edge_feat_jitter)
+        nag = T.add_self_loops(nag)
+
+        # handcrafted features -> x
+        if not cfg.nano and cfg.point_hf:
+            nag.add_keys_to(nag.start_i_level, list(cfg.point_hf),
+                            to='x', delete_after=False)
+        if cfg.segment_hf:
+            nag.add_keys_to('1+', list(cfg.segment_hf), to='x',
+                            delete_after=False)
+        processed.append(nag)
+
+    big = batch_nags(processed)
+    return pad_nag(big, num_classes=cfg.num_classes,
+                   node_caps=cfg.node_caps, k_caps=cfg.k_caps,
+                   bucket_mode=cfg.bucket_mode)

@@ -1,0 +1,28 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh so multi-chip sharding is
+# exercised without TPU hardware (the driver dry-runs the real path).
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+# Persistent compilation cache: repeated test runs skip XLA compiles.
+_CACHE = '/tmp/jax_cache'
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update('jax_compilation_cache_dir', _CACHE)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
+
+import pytest  # noqa: E402
+
+DEMO_NAG = '/root/reference/notebooks/demo_nag_v3.h5'
+
+
+@pytest.fixture(scope='session')
+def demo_nag_path():
+    if not os.path.exists(DEMO_NAG):
+        pytest.skip('demo NAG fixture not available')
+    return DEMO_NAG

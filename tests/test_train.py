@@ -1,0 +1,111 @@
+"""Training-step tests: loss decreases on a synthetic scene; the
+data-parallel step runs on the virtual 8-device CPU mesh (the
+reference's analogue: tests/test_train.py fast_dev_run + ddp_sim)."""
+import numpy as np
+import pytest
+import jax
+
+from superpoint_transformer_tpu.utils.synthetic import random_nag
+from superpoint_transformer_tpu.transforms import (
+    BatchConfig, prepare_batch)
+from superpoint_transformer_tpu.models import SPT
+from superpoint_transformer_tpu.models.semantic import SemanticTask
+from superpoint_transformer_tpu.metrics import ConfusionMatrix
+
+
+def tiny_model(num_graphs=2):
+    return SPT(
+        point_mlp=(12, 16, 32), down_dim=(16, 16),
+        down_in_mlp=((4 + 32, 16), (4 + 16, 16)),
+        down_num_heads=4, down_num_blocks=1, up_dim=(16,),
+        up_in_mlp=((4 + 16 + 16, 16),), up_num_heads=4,
+        up_num_blocks=1, h_edge_mlp=(18, 16, 16), in_rpe_dim=16,
+        qk_dim=4, no_ffn=True, k_rpe=True, q_rpe=True, v_rpe=True,
+        use_diameter_parent=True, output_stage_wise=True,
+        num_graphs=num_graphs)
+
+
+def make_batch(seed=0, train=False):
+    nag = random_nag(seed=seed, n_points=256, n_l1=32, n_l2=8)
+    cfg = BatchConfig(sample_graph_r=-1, sample_segment_ratio=0)
+    return prepare_batch([nag], cfg, train=train,
+                         rng=np.random.default_rng(seed))
+
+
+def test_train_step_loss_decreases():
+    task = SemanticTask(net=tiny_model(), num_classes=13, lr=0.01,
+                        total_steps=50, warmup_steps=2)
+    batch = make_batch()
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(15):
+        rng, sub = jax.random.split(rng)
+        state, metrics = task.train_step(state, batch, sub)
+        losses.append(float(metrics['loss']))
+    assert np.isfinite(losses).all()
+    # overfitting one small batch must reduce the loss
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_eval_step_and_metrics():
+    task = SemanticTask(net=tiny_model(), num_classes=13)
+    batch = make_batch()
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    out = task.eval_step(state, batch)
+    cm = ConfusionMatrix(13)
+    cm.merge(out['confmat'])
+    m = cm.all_metrics()
+    assert 0 <= m['miou'] <= 100
+    assert 0 <= m['oa'] <= 100
+    # confmat mass equals the non-void histogram mass of valid nodes
+    y = np.asarray(batch[1].y)
+    mask = np.asarray(batch[1].node_mask)
+    assert cm.confmat.sum() == int(y[mask][:, :13].sum())
+
+
+def test_grads_flow_everywhere():
+    """Every parameter must receive a nonzero gradient somewhere."""
+    task = SemanticTask(net=tiny_model(), num_classes=13)
+    batch = make_batch()
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    (_, _), grads = jax.value_and_grad(
+        task._loss_fn, has_aux=True)(
+        state.params, batch, jax.random.PRNGKey(0))
+    flat = jax.tree_util.tree_leaves_with_path(grads)
+    dead = [jax.tree_util.keystr(p) for p, g in flat
+            if not np.any(np.abs(np.asarray(g)) > 0)]
+    # RPE encoders of self-loop-only edge feats may be dead on tiny
+    # graphs; everything else must be alive
+    assert len(dead) < 0.1 * len(flat), dead
+
+
+@pytest.mark.multichip
+def test_dp_train_step_8_devices():
+    import __graft_entry__ as ge
+    assert len(jax.devices()) >= 8
+    ge.dryrun_multichip(8)
+
+
+def test_dp_matches_single_device_loss():
+    """pmean of per-device losses == mean of individual losses."""
+    from superpoint_transformer_tpu.parallel import (
+        stack_batches, shard_batch, make_dp_train_step)
+    from jax.sharding import Mesh
+    devices = jax.devices()[:2]
+    mesh = Mesh(np.asarray(devices), ('data',))
+    task = SemanticTask(net=tiny_model(num_graphs=1), num_classes=13,
+                        total_steps=50, warmup_steps=2)
+    b0, b1 = make_batch(seed=0), make_batch(seed=1)
+    state = task.init_state(jax.random.PRNGKey(0), b0)
+    stacked = shard_batch(stack_batches([b0, b1]), mesh)
+    step = make_dp_train_step(task, mesh)
+    _, metrics = step(state, stacked, jax.random.PRNGKey(1))
+    l0, _ = task._loss_fn(state.params, b0, jax.random.PRNGKey(0),
+                          train=False)
+    l1, _ = task._loss_fn(state.params, b1, jax.random.PRNGKey(0),
+                          train=False)
+    # train=True losses differ by dropout rng; our tiny model has no
+    # dropout so pmean(loss) must equal the average of the two
+    np.testing.assert_allclose(
+        float(metrics['loss']), (float(l0) + float(l1)) / 2, rtol=1e-4)
