@@ -24,6 +24,8 @@ BASELINE_POINTS_PER_SEC = 18_000_000 / 10.1
 
 def main():
     import jax
+    from superpoint_transformer_tpu.utils.jax_setup import setup_jax
+    setup_jax()
     from superpoint_transformer_tpu.data import NAG
     from superpoint_transformer_tpu.transforms import (
         BatchConfig, prepare_batch)

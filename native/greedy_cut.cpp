@@ -1,0 +1,194 @@
+// Greedy L0 (Potts) graph-partition solver — the native core of the
+// framework's superpoint partition (role of parallel-cut-pursuit
+// `cp_d0_dist` in the reference, src/transforms/partition.py:199-227,
+// but a fresh greedy energy-descent design, not a port).
+//
+// Objective (identical to the reference's d0 energy):
+//   E(P) = sum_p w_p * ||f_p - mu_{c(p)}||^2  +  reg * sum_{cut (u,v)} w_uv
+//
+// Algorithm: agglomerative energy descent. Start from singletons; merge
+// the component pair with the largest energy gain
+//   gain(A,B) = reg * W_AB  -  S_A*S_B/(S_A+S_B) * ||mu_A - mu_B||^2
+// (W_AB = accumulated cut weight, S = total vertex weight) while
+// gain > 0, using a lazy max-heap with stamp invalidation and
+// small-to-large adjacency merging. A second phase force-merges
+// components lighter than `cutoff` into their best neighbor, enforcing
+// the reference's `min_comp_weight` semantics.
+//
+// Build: make -C native   (produces libspt_native.so, loaded via
+// ctypes in superpoint_transformer_tpu/ops/native.py)
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <queue>
+#include <unordered_map>
+#include <algorithm>
+
+namespace {
+
+struct HeapItem {
+    double gain;
+    int32_t a, b;
+    uint64_t stamp;  // sum of component versions at push time
+    bool operator<(const HeapItem& o) const { return gain < o.gain; }
+};
+
+struct Solver {
+    int64_t n, d;
+    const float* f;
+    std::vector<double> S;            // component weight
+    std::vector<double> mu;           // component means [n*d]
+    std::vector<int32_t> parent;      // union-find
+    std::vector<uint64_t> version;    // bumped on every merge
+    std::vector<std::unordered_map<int32_t, double>> adj;  // cut weights
+    std::priority_queue<HeapItem> heap;
+    double reg;
+
+    int32_t find(int32_t x) {
+        while (parent[x] != x) {
+            parent[x] = parent[parent[x]];
+            x = parent[x];
+        }
+        return x;
+    }
+
+    double fidelity(int32_t a, int32_t b) const {
+        const double* ma = &mu[(size_t)a * d];
+        const double* mb = &mu[(size_t)b * d];
+        double dist = 0;
+        for (int64_t k = 0; k < d; ++k) {
+            double t = ma[k] - mb[k];
+            dist += t * t;
+        }
+        double sa = S[a], sb = S[b];
+        return sa * sb / (sa + sb) * dist;
+    }
+
+    double gain(int32_t a, int32_t b, double W) const {
+        return reg * W - fidelity(a, b);
+    }
+
+    void push(int32_t a, int32_t b, double W) {
+        heap.push({gain(a, b, W), a, b, version[a] + version[b]});
+    }
+
+    // merge component b into a (a keeps the larger adjacency)
+    int32_t merge(int32_t a, int32_t b) {
+        if (adj[a].size() < adj[b].size()) std::swap(a, b);
+        parent[b] = a;
+        double sa = S[a], sb = S[b], s = sa + sb;
+        double* ma = &mu[(size_t)a * d];
+        const double* mb = &mu[(size_t)b * d];
+        for (int64_t k = 0; k < d; ++k)
+            ma[k] = (ma[k] * sa + mb[k] * sb) / s;
+        S[a] = s;
+        version[a]++;
+        version[b]++;
+        adj[a].erase(b);
+        for (auto& kv : adj[b]) {
+            int32_t c = find(kv.first);
+            if (c == a || c == b) continue;
+            adj[a][c] += kv.second;
+            adj[c].erase(b);
+            adj[c][a] = adj[a][c];
+        }
+        adj[b].clear();
+        // refresh heap entries for a's neighborhood
+        for (auto& kv : adj[a]) {
+            int32_t c = find(kv.first);
+            if (c != a) push(a, c, kv.second);
+        }
+        return a;
+    }
+};
+
+}  // namespace
+
+extern "C" int64_t spt_greedy_cut(
+    int64_t n, int64_t d, const float* f, const float* node_w,
+    int64_t m, const int32_t* src, const int32_t* dst, const float* ew,
+    double reg, double cutoff, int32_t* super_index_out) {
+    if (n <= 0) return 0;
+    Solver s;
+    s.n = n;
+    s.d = d;
+    s.f = f;
+    s.reg = reg;
+    s.S.resize(n);
+    s.mu.resize((size_t)n * d);
+    s.parent.resize(n);
+    s.version.assign(n, 0);
+    s.adj.resize(n);
+    for (int64_t i = 0; i < n; ++i) {
+        s.parent[i] = (int32_t)i;
+        s.S[i] = node_w ? node_w[i] : 1.0;
+        for (int64_t k = 0; k < d; ++k)
+            s.mu[(size_t)i * d + k] = f[(size_t)i * d + k];
+    }
+    // accumulate (trimmed) edge weights into adjacency maps
+    for (int64_t e = 0; e < m; ++e) {
+        int32_t u = src[e], v = dst[e];
+        if (u == v) continue;
+        double w = ew ? ew[e] : 1.0;
+        s.adj[u][v] += w;
+        s.adj[v][u] += w;
+    }
+    for (int64_t i = 0; i < n; ++i)
+        for (auto& kv : s.adj[i])
+            if (kv.first > i) s.push((int32_t)i, kv.first, kv.second);
+
+    // Phase 1: merge while the energy decreases
+    while (!s.heap.empty()) {
+        HeapItem it = s.heap.top();
+        s.heap.pop();
+        if (it.gain <= 0) break;
+        int32_t a = s.find(it.a), b = s.find(it.b);
+        if (a == b) continue;
+        if (s.version[it.a] + s.version[it.b] != it.stamp) continue;
+        auto jt = s.adj[a].find(b);
+        if (jt == s.adj[a].end()) continue;
+        double g = s.gain(a, b, jt->second);
+        if (g <= 0) continue;
+        s.merge(a, b);
+    }
+
+    // Phase 2: enforce min component weight (reference min_comp_weight)
+    if (cutoff > 0) {
+        bool changed = true;
+        while (changed) {
+            changed = false;
+            for (int64_t i = 0; i < n; ++i) {
+                int32_t a = s.find((int32_t)i);
+                if ((int64_t)a != i || s.S[a] >= cutoff) continue;
+                // merge into neighbor with the best (largest) gain
+                int32_t best = -1;
+                double best_g = -1e300;
+                for (auto& kv : s.adj[a]) {
+                    int32_t c = s.find(kv.first);
+                    if (c == a) continue;
+                    double g = s.gain(a, c, kv.second);
+                    if (g > best_g) {
+                        best_g = g;
+                        best = c;
+                    }
+                }
+                if (best >= 0) {
+                    s.merge(a, best);
+                    changed = true;
+                }
+            }
+        }
+    }
+
+    // Compact component ids in order of first appearance
+    std::vector<int32_t> remap(n, -1);
+    int32_t n_comp = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t r = s.find((int32_t)i);
+        if (remap[r] < 0) remap[r] = n_comp++;
+        super_index_out[i] = remap[r];
+    }
+    return n_comp;
+}

@@ -1,0 +1,207 @@
+"""BaseDataset: stage handling, hash-addressed preprocessing cache,
+per-cloud processing and partial loading (re-design of reference
+src/datasets/base.py:44).
+
+Directory layout (reference-compatible):
+  <root>/raw/...                      raw dataset files
+  <root>/processed/<stage>/<hash>/<cloud_id>.h5   preprocessed NAGs
+
+The `<hash>` is the md5 of the preprocessing config repr — changing
+any preprocessing parameter re-processes into a fresh directory
+(reference pre_transform_hash, src/datasets/base.py:631).
+Preprocessing is embarrassingly parallel per cloud; on multi-host
+setups each host handles `cloud_ids[host_id::num_hosts]`.
+"""
+import hashlib
+import os
+import os.path as osp
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..data.nag import NAG
+from ..transforms.preprocess import preprocess_cloud
+
+__all__ = ['BaseDataset']
+
+
+class BaseDataset:
+    """Subclasses must define:
+      - `class_names` (list, incl. trailing 'ignored')
+      - `num_classes` (int, excluding the ignored class)
+      - `all_cloud_ids` -> {'train': [...], 'val': [...], 'test': [...]}
+      - `read_single_raw_cloud(raw_path) -> Data`
+      - `id_to_relative_raw_path(cloud_id) -> str`
+    Optional: `stuff_classes`, `val_mixed_in_train`,
+    `test_mixed_in_val`.
+    """
+    class_names: List[str] = []
+    num_classes: int = 0
+    stuff_classes: List[int] = []
+    val_mixed_in_train = False
+    test_mixed_in_val = False
+
+    def __init__(self, root, stage='train', pre_transform_config=None,
+                 point_load_keys=None, segment_load_keys=None,
+                 nano=False, in_memory=False, host_id=0, num_hosts=1,
+                 verbose=False):
+        assert stage in ('train', 'val', 'trainval', 'test')
+        self.root = root
+        self.stage = stage
+        self.pre_transform_config = dict(pre_transform_config or {})
+        self.point_load_keys = point_load_keys
+        self.segment_load_keys = segment_load_keys
+        self.nano = nano
+        self.in_memory = in_memory
+        self.host_id = host_id
+        self.num_hosts = num_hosts
+        self.verbose = verbose
+        self._cache = {}
+
+    # ----- to be overridden -------------------------------------------
+    @property
+    def all_cloud_ids(self) -> Dict[str, List[str]]:
+        raise NotImplementedError
+
+    def read_single_raw_cloud(self, raw_path):
+        raise NotImplementedError
+
+    def id_to_relative_raw_path(self, cloud_id):
+        return cloud_id + '.ply'
+
+    # ----- paths --------------------------------------------------------
+    @property
+    def raw_dir(self):
+        return osp.join(self.root, 'raw')
+
+    @property
+    def processed_dir(self):
+        return osp.join(self.root, 'processed')
+
+    @property
+    def pre_transform_hash(self):
+        cfg = repr(sorted(self.pre_transform_config.items()))
+        return hashlib.md5(cfg.encode()).hexdigest()
+
+    @property
+    def cloud_ids(self):
+        if self.stage == 'trainval':
+            return (self.all_cloud_ids['train']
+                    + self.all_cloud_ids['val'])
+        if self.stage == 'val' and self.val_mixed_in_train:
+            return self.all_cloud_ids['val']
+        return self.all_cloud_ids[self.stage]
+
+    def _stage_of(self, cloud_id):
+        for s in ('train', 'val', 'test'):
+            if cloud_id in self.all_cloud_ids[s]:
+                if s == 'val' and self.val_mixed_in_train:
+                    return 'train'
+                if s == 'test' and self.test_mixed_in_val:
+                    return 'val'
+                return s
+        return self.stage
+
+    def processed_path(self, cloud_id):
+        return osp.join(self.processed_dir, self._stage_of(cloud_id),
+                        self.pre_transform_hash, f'{cloud_id}.h5')
+
+    @property
+    def processed_paths(self):
+        return [self.processed_path(c) for c in self.cloud_ids]
+
+    # ----- processing ---------------------------------------------------
+    def process(self):
+        """Preprocess any missing cloud. Skips per-cloud if the .h5
+        already exists (resumable, reference base.py:798). Each host
+        processes its shard of the cloud list."""
+        todo = [c for c in self.cloud_ids
+                if not osp.exists(self.processed_path(c))]
+        todo = todo[self.host_id::self.num_hosts]
+        for cloud_id in todo:
+            self._process_single_cloud(cloud_id)
+
+    def _process_single_cloud(self, cloud_id):
+        path = self.processed_path(cloud_id)
+        if osp.exists(path):
+            return
+        os.makedirs(osp.dirname(path), exist_ok=True)
+        raw_path = osp.join(self.raw_dir,
+                            self.id_to_relative_raw_path(cloud_id))
+        data = self.read_single_raw_cloud(raw_path)
+        if self.verbose:
+            print(f'preprocessing {cloud_id}: {data.num_nodes} points')
+        nag = preprocess_cloud(
+            data, num_classes=self.num_classes,
+            **self.pre_transform_config)
+        nag.save(path, pos_dtype=np.float32, fp_dtype=np.float16)
+
+    # ----- loading ------------------------------------------------------
+    def __len__(self):
+        return len(self.cloud_ids)
+
+    def __getitem__(self, idx):
+        cloud_id = self.cloud_ids[idx]
+        if self.in_memory and cloud_id in self._cache:
+            return self._cache[cloud_id]
+        nag = NAG.load(
+            self.processed_path(cloud_id),
+            low=1 if self.nano else 0,
+            keys_low=self.point_load_keys,
+            keys=self.segment_load_keys,
+            non_fp_to_long=True, rgb_to_float=True)
+        if self.in_memory:
+            self._cache[cloud_id] = nag
+        return nag
+
+    def get_class_weight(self, smooth='sqrt'):
+        """Per-class loss weights from the train label counts
+        (reference get_class_weight, src/datasets/base.py:1015)."""
+        counts = np.zeros(self.num_classes, dtype=np.float64)
+        for i in range(len(self)):
+            nag = self[i]
+            y = nag[1].y
+            if y is None:
+                continue
+            counts += np.asarray(y)[:, :self.num_classes].sum(0)
+        counts = np.maximum(counts, 1)
+        if smooth == 'sqrt':
+            counts = np.sqrt(counts)
+        elif smooth == 'log':
+            counts = np.log(counts + 1)
+        w = 1.0 / counts
+        return (w / w.sum() * self.num_classes).astype(np.float32)
+
+
+class DataLoader:
+    """Identity-collate loader yielding lists of NAGs (reference
+    src/loader/dataloader.py:16 — batching is deferred to device-side
+    `NAGBatch`; here to `prepare_batch`)."""
+
+    def __init__(self, dataset, batch_size=1, shuffle=False, seed=0,
+                 drop_last=False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+        self.epoch += 1
+        for i in range(0, n, self.batch_size):
+            idx = order[i:i + self.batch_size]
+            if self.drop_last and idx.shape[0] < self.batch_size:
+                break
+            yield [self.dataset[int(j)] for j in idx]

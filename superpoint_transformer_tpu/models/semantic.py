@@ -47,7 +47,7 @@ class TrainState(train_state.TrainState):
     batch_stats: Any = None
 
 
-@dataclass
+@dataclass(eq=False)
 class SemanticTask:
     """Functional task wrapper: holds static config, builds the model,
     the optimizer and the jitted steps."""
@@ -69,7 +69,8 @@ class SemanticTask:
 
     # -- state ----------------------------------------------------------
     def init_state(self, rng, example_batch):
-        variables = self.model.init(rng, example_batch, train=False)
+        init_fn = jax.jit(partial(self.model.init, train=False))
+        variables = init_fn(rng, example_batch)
         params = variables['params']
         tx = make_optimizer(
             lr=self.lr, weight_decay=self.weight_decay,

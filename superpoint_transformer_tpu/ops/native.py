@@ -1,0 +1,242 @@
+"""ctypes bindings for the C++ native kernels (native/libspt_native.so)
+with pure-numpy fallbacks so the package works without the build step.
+
+Native components (see native/*.cpp):
+  - spt_greedy_cut: greedy L0/Potts graph-partition solver
+    (replaces pycut-pursuit `cp_d0_dist` in the reference pipeline,
+    src/transforms/partition.py:199)
+  - spt_radius_knn: fixed-radius KNN on a voxel hash grid
+    (replaces FRNN, src/utils/neighbors.py:24)
+"""
+import ctypes
+import heapq
+import os
+
+import numpy as np
+
+__all__ = ['greedy_cut', 'radius_knn', 'native_available']
+
+_LIB = None
+
+
+def _load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    for cand in (os.path.join(here, 'native', 'libspt_native.so'),
+                 os.path.join(os.path.dirname(here), 'native',
+                              'libspt_native.so')):
+        if os.path.exists(cand):
+            lib = ctypes.CDLL(cand)
+            lib.spt_greedy_cut.restype = ctypes.c_int64
+            lib.spt_greedy_cut.argtypes = [
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_double, ctypes.c_double,
+                ctypes.POINTER(ctypes.c_int32)]
+            lib.spt_radius_knn.restype = None
+            lib.spt_radius_knn.argtypes = [
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_double, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_float)]
+            _LIB = lib
+            return lib
+    _LIB = False
+    return False
+
+
+def native_available():
+    return bool(_load())
+
+
+def _ptr(a, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def greedy_cut(features, edge_index, edge_weight=None, node_weight=None,
+               reg=0.1, cutoff=10):
+    """Greedy L0 partition. `features` [N, D] float32 (pre-scaled),
+    trimmed `edge_index` [2, E]. Returns (super_index [N] int64,
+    n_components)."""
+    f = np.ascontiguousarray(features, dtype=np.float32)
+    n, d = f.shape
+    src = np.ascontiguousarray(edge_index[0], dtype=np.int32)
+    dst = np.ascontiguousarray(edge_index[1], dtype=np.int32)
+    m = src.shape[0]
+    ew = None if edge_weight is None else np.ascontiguousarray(
+        edge_weight.reshape(-1), dtype=np.float32)
+    nw = None if node_weight is None else np.ascontiguousarray(
+        node_weight.reshape(-1), dtype=np.float32)
+    lib = _load()
+    if lib:
+        out = np.empty(n, dtype=np.int32)
+        n_comp = lib.spt_greedy_cut(
+            n, d, _ptr(f, ctypes.c_float),
+            _ptr(nw, ctypes.c_float) if nw is not None else None,
+            m, _ptr(src, ctypes.c_int32), _ptr(dst, ctypes.c_int32),
+            _ptr(ew, ctypes.c_float) if ew is not None else None,
+            float(reg), float(cutoff), _ptr(out, ctypes.c_int32))
+        return out.astype(np.int64), int(n_comp)
+    return _greedy_cut_py(f, src, dst, ew, nw, reg, cutoff)
+
+
+def _greedy_cut_py(f, src, dst, ew, nw, reg, cutoff):
+    """Numpy/heapq fallback of native/greedy_cut.cpp (same algorithm)."""
+    n, d = f.shape
+    S = nw.astype(np.float64).copy() if nw is not None \
+        else np.ones(n)
+    mu = f.astype(np.float64).copy()
+    parent = np.arange(n)
+    version = np.zeros(n, dtype=np.int64)
+    adj = [dict() for _ in range(n)]
+    w = ew if ew is not None else np.ones(src.shape[0], dtype=np.float32)
+    for u, v, x in zip(src, dst, w):
+        if u == v:
+            continue
+        adj[u][v] = adj[u].get(v, 0.0) + float(x)
+        adj[v][u] = adj[v].get(u, 0.0) + float(x)
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    def fid(a, b):
+        diff = mu[a] - mu[b]
+        return S[a] * S[b] / (S[a] + S[b]) * float(diff @ diff)
+
+    def gain(a, b, W):
+        return reg * W - fid(a, b)
+
+    heap = []
+    for a in range(n):
+        for b, W in adj[a].items():
+            if b > a:
+                heapq.heappush(
+                    heap, (-gain(a, b, W), a, b,
+                           int(version[a] + version[b])))
+
+    def merge(a, b):
+        if len(adj[a]) < len(adj[b]):
+            a, b = b, a
+        parent[b] = a
+        s = S[a] + S[b]
+        mu[a] = (mu[a] * S[a] + mu[b] * S[b]) / s
+        S[a] = s
+        version[a] += 1
+        version[b] += 1
+        adj[a].pop(b, None)
+        for c0, W in adj[b].items():
+            c = find(c0)
+            if c in (a, b):
+                continue
+            adj[a][c] = adj[a].get(c, 0.0) + W
+            adj[c].pop(b, None)
+            adj[c][a] = adj[a][c]
+        adj[b].clear()
+        for c0, W in list(adj[a].items()):
+            c = find(c0)
+            if c != a:
+                heapq.heappush(
+                    heap, (-gain(a, c, W), a, c,
+                           int(version[a] + version[c])))
+        return a
+
+    while heap:
+        neg_g, a0, b0, stamp = heapq.heappop(heap)
+        if -neg_g <= 0:
+            break
+        a, b = find(a0), find(b0)
+        if a == b or version[a0] + version[b0] != stamp:
+            continue
+        W = adj[a].get(b)
+        if W is None:
+            continue
+        if gain(a, b, W) <= 0:
+            continue
+        merge(a, b)
+
+    if cutoff > 0:
+        changed = True
+        while changed:
+            changed = False
+            for i in range(n):
+                a = find(i)
+                if a != i or S[a] >= cutoff:
+                    continue
+                best, best_g = -1, -np.inf
+                for c0, W in adj[a].items():
+                    c = find(c0)
+                    if c == a:
+                        continue
+                    g = gain(a, c, W)
+                    if g > best_g:
+                        best, best_g = c, g
+                if best >= 0:
+                    merge(a, best)
+                    changed = True
+
+    remap = {}
+    out = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        r = find(i)
+        if r not in remap:
+            remap[r] = len(remap)
+        out[i] = remap[r]
+    return out, len(remap)
+
+
+def radius_knn(xyz_search, xyz_query=None, r=1.0, k=10,
+               exclude_self=None):
+    """Fixed-radius KNN; returns (nbr_idx [Nq, k] int32 with -1
+    padding, dist [Nq, k] float32 with +inf padding)."""
+    xs = np.ascontiguousarray(xyz_search, dtype=np.float32)
+    self_search = xyz_query is None
+    xq = xs if self_search else np.ascontiguousarray(
+        xyz_query, dtype=np.float32)
+    if exclude_self is None:
+        exclude_self = self_search
+    lib = _load()
+    nq = xq.shape[0]
+    if lib:
+        nbr = np.empty((nq, k), dtype=np.int32)
+        dist = np.empty((nq, k), dtype=np.float32)
+        lib.spt_radius_knn(
+            xs.shape[0], _ptr(xs, ctypes.c_float),
+            nq, _ptr(xq, ctypes.c_float),
+            float(r), int(k), int(bool(exclude_self)),
+            _ptr(nbr, ctypes.c_int32), _ptr(dist, ctypes.c_float))
+        return nbr, dist
+    # scipy fallback
+    from scipy.spatial import cKDTree
+    tree = cKDTree(xs)
+    kk = k + 1 if exclude_self else k
+    dist, idx = tree.query(xq, k=kk, distance_upper_bound=r)
+    if kk == 1:
+        dist, idx = dist[:, None], idx[:, None]
+    if exclude_self:
+        # drop the self column (first column when querying self)
+        mask = idx == np.arange(nq)[:, None]
+        # shift left where self was found
+        out_i = np.full((nq, k), -1, dtype=np.int32)
+        out_d = np.full((nq, k), np.inf, dtype=np.float32)
+        for i in range(nq):
+            row_i = idx[i][~mask[i]][:k]
+            row_d = dist[i][~mask[i]][:k]
+            out_i[i, :row_i.shape[0]] = row_i
+            out_d[i, :row_d.shape[0]] = row_d
+        idx, dist = out_i, out_d
+    idx = np.where(idx >= xs.shape[0], -1, idx).astype(np.int32)
+    return idx, dist.astype(np.float32)

@@ -1,0 +1,155 @@
+"""Training/evaluation loops with checkpointing and CSV logging —
+replaces the reference's Lightning Trainer + callbacks (reference
+src/train.py:60-125, configs/callbacks/default.yaml: ModelCheckpoint
+monitoring val/miou + save_last, resume via ckpt_path).
+
+Checkpoints are orbax; every checkpoint carries framework version
+metadata (reference on_save_checkpoint, src/models/semantic.py:1336).
+"""
+import csv
+import json
+import os
+import os.path as osp
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import numpy as np
+
+from . import __version__
+from .metrics.semantic import ConfusionMatrix
+from .transforms.prepare import prepare_batch
+
+__all__ = ['Trainer']
+
+
+class CSVLogger:
+    def __init__(self, path):
+        self.path = path
+        os.makedirs(osp.dirname(path), exist_ok=True)
+        self._keys = None
+
+    def log(self, row):
+        new_file = self._keys is None
+        if new_file:
+            self._keys = list(row.keys())
+            if not osp.exists(self.path):
+                with open(self.path, 'w', newline='') as f:
+                    csv.writer(f).writerow(self._keys)
+        with open(self.path, 'a', newline='') as f:
+            csv.writer(f).writerow([row.get(k) for k in self._keys])
+
+
+@dataclass
+class Trainer:
+    task: 'SemanticTask'
+    batch_cfg: 'BatchConfig'
+    output_dir: str = 'outputs'
+    max_epochs: int = 100
+    check_val_every_n_epoch: int = 10
+    log_every_n_steps: int = 50
+    seed: int = 0
+    node_caps: Optional[dict] = None
+    k_caps: Optional[dict] = None
+
+    def __post_init__(self):
+        os.makedirs(self.output_dir, exist_ok=True)
+        self.logger = CSVLogger(osp.join(self.output_dir, 'metrics.csv'))
+        self.best_miou = -1.0
+        self.epoch = 0
+
+    # -- checkpointing ---------------------------------------------------
+    def _ckpt_dir(self, name):
+        return osp.abspath(osp.join(self.output_dir, 'checkpoints',
+                                    name))
+
+    def save_checkpoint(self, state, name='last'):
+        import orbax.checkpoint as ocp
+        path = self._ckpt_dir(name)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, {'params': state.params,
+                          'opt_state': state.opt_state,
+                          'step': state.step}, force=True)
+        ckptr.wait_until_finished()
+        meta = {'version': __version__, 'epoch': self.epoch,
+                'best_miou': self.best_miou,
+                'time': time.time()}
+        with open(osp.join(path, 'spt_meta.json'), 'w') as f:
+            json.dump(meta, f)
+
+    def load_checkpoint(self, state, name='last'):
+        import orbax.checkpoint as ocp
+        path = self._ckpt_dir(name)
+        ckptr = ocp.StandardCheckpointer()
+        target = {'params': state.params, 'opt_state': state.opt_state,
+                  'step': state.step}
+        restored = ckptr.restore(path, target)
+        meta_path = osp.join(path, 'spt_meta.json')
+        if osp.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            self.epoch = int(meta.get('epoch', 0))
+            self.best_miou = float(meta.get('best_miou', -1))
+        return state.replace(params=restored['params'],
+                             opt_state=restored['opt_state'],
+                             step=restored['step'])
+
+    # -- loops ----------------------------------------------------------
+    def fit(self, state, train_loader, val_loader=None, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(self.seed)
+        np_rng = np.random.default_rng(self.seed)
+        step = int(state.step)
+        for epoch in range(self.epoch, self.max_epochs):
+            self.epoch = epoch
+            cm = ConfusionMatrix(self.task.num_classes)
+            losses = []
+            t0 = time.time()
+            for nags in train_loader:
+                batch = prepare_batch(
+                    nags, self.batch_cfg, train=True, rng=np_rng)
+                rng, sub = jax.random.split(rng)
+                state, metrics = self.task.train_step(state, batch, sub)
+                losses.append(float(metrics['loss']))
+                cm.merge(np.asarray(metrics['confmat']))
+                step += 1
+            m = cm.all_metrics()
+            row = {'epoch': epoch, 'split': 'train',
+                   'loss': float(np.mean(losses)) if losses else None,
+                   'miou': m['miou'], 'oa': m['oa'], 'macc': m['macc'],
+                   'time': time.time() - t0}
+            self.logger.log(row)
+            print(f"[epoch {epoch}] train loss="
+                  f"{row['loss']:.4f} miou={m['miou']:.2f} "
+                  f"({row['time']:.1f}s)")
+
+            if val_loader is not None and (
+                    (epoch + 1) % self.check_val_every_n_epoch == 0
+                    or epoch == self.max_epochs - 1):
+                vm = self.validate(state, val_loader)
+                if vm['miou'] > self.best_miou:
+                    self.best_miou = vm['miou']
+                    self.save_checkpoint(state, 'best')
+            self.save_checkpoint(state, 'last')
+        return state
+
+    def validate(self, state, loader, split='val'):
+        cm = ConfusionMatrix(self.task.num_classes)
+        losses = []
+        for nags in loader:
+            batch = prepare_batch(nags, self.batch_cfg, train=False)
+            out = self.task.eval_step(state, batch)
+            losses.append(float(out['loss']))
+            cm.merge(np.asarray(out['confmat']))
+        m = cm.all_metrics()
+        row = {'epoch': self.epoch, 'split': split,
+               'loss': float(np.mean(losses)) if losses else None,
+               'miou': m['miou'], 'oa': m['oa'], 'macc': m['macc'],
+               'time': None}
+        self.logger.log(row)
+        print(f"[epoch {self.epoch}] {split} miou={m['miou']:.2f} "
+              f"oa={m['oa']:.2f} macc={m['macc']:.2f}")
+        return m
+
+    def test(self, state, loader):
+        return self.validate(state, loader, split='test')

@@ -1,3 +1,5 @@
 from . import runtime
 from .runtime import *
 from .prepare import BatchConfig, prepare_batch
+from . import preprocess
+from .preprocess import preprocess_cloud

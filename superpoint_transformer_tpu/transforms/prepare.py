@@ -50,6 +50,12 @@ class BatchConfig:
     rgb_autocontrast: float = 0.5
     rgb_drop: float = 0.3
 
+    # instance graph (panoptic)
+    instance: bool = False
+    instance_k_max: int = 30
+    instance_radius: float = 0.1
+    instance_adjacency_mode: str = 'radius-atomic'
+
     # padding
     node_caps: Optional[Dict[int, int]] = None
     k_caps: Optional[Dict[int, int]] = None
@@ -102,6 +108,12 @@ def prepare_batch(nag_list, cfg: BatchConfig, train=True, rng=None):
                                sigma=cfg.h_edge_feat_jitter,
                                trunc=2 * cfg.h_edge_feat_jitter)
         nag = T.add_self_loops(nag)
+        if cfg.instance:
+            from .instance import on_the_fly_instance_graph
+            nag = on_the_fly_instance_graph(
+                nag, level=1, num_classes=cfg.num_classes,
+                k_max=cfg.instance_k_max, radius=cfg.instance_radius,
+                adjacency_mode=cfg.instance_adjacency_mode)
 
         # handcrafted features -> x
         if not cfg.nano and cfg.point_hf:

@@ -1,0 +1,633 @@
+"""Preprocessing pipeline: raw point cloud -> hierarchical NAG.
+
+Host-orchestrated mirror of the reference's `pre_transform` chain
+(configs/datamodule/semantic/default.yaml:102-185):
+  SaveNodeIndex -> GridSampling3D -> KNN -> PointFeatures ->
+  GroundElevation -> AdjacencyGraph -> ConnectIsolated -> AddKeysTo ->
+  CutPursuitPartition -> SegmentFeatures -> RadiusHorizontalGraph
+
+Hot kernels run on device (JAX: geometric features) or in C++
+(native/: partition solver, radius KNN); the orchestration is numpy.
+"""
+import numpy as np
+
+from ..data.data import Data
+from ..data.nag import NAG
+from ..data.csr import Cluster, InstanceData
+from ..ops.native import greedy_cut, radius_knn
+from ..ops.graph import to_trimmed_np, isolated_nodes_np
+from ..utils.histogram import atomic_to_histogram
+
+__all__ = [
+    'save_node_index', 'grid_sampling', 'knn_search', 'point_features',
+    'ground_elevation', 'adjacency_graph', 'connect_isolated',
+    'add_keys_to', 'cut_pursuit_partition', 'segment_features',
+    'radius_horizontal_graph', 'preprocess_cloud',
+]
+
+_VOTING_KEYS = ('y', 'super_index', 'is_val')
+_INSTANCE_KEYS = ('obj', 'obj_pred')
+_CLUSTER_KEYS = ('sub',)
+_LAST_KEYS = ('batch', 'node_id')
+_NORMAL_KEYS = ('normal',)
+
+
+def save_node_index(data, key='sub'):
+    """Store full-resolution point ids (reference SaveNodeIndex,
+    src/transforms/sampling.py:56)."""
+    data[key] = np.arange(data.num_nodes, dtype=np.int64)
+    return data
+
+
+def grid_sampling(data, size, hist_key='y', hist_size=None, mode='mean'):
+    """Voxelize (reference GridSampling3D + _group_data,
+    src/transforms/sampling.py:86,237): same-voxel points aggregate by
+    key-specific rules — mean / majority voting ('y', 'super_index',
+    'is_val') / histogram (hist_key) / Cluster ('sub') / InstanceData
+    ('obj') / 'last' ('batch'); normals are re-normalized."""
+    hist_keys = [hist_key] if isinstance(hist_key, str) else \
+        list(hist_key or [])
+    bins = {}
+    if hist_size is not None:
+        sizes = [hist_size] if isinstance(hist_size, int) else hist_size
+        bins = dict(zip(hist_keys, sizes))
+
+    coords = np.round(data.pos / size).astype(np.int64)
+    # lexicographic voxel key
+    mins = coords.min(0)
+    coords = coords - mins
+    dims = coords.max(0) + 1
+    key = (coords[:, 0] * dims[1] + coords[:, 1]) * dims[2] + coords[:, 2]
+    uniq, cluster, counts = np.unique(
+        key, return_inverse=True, return_counts=True)
+    n_vox = uniq.shape[0]
+    # representative ("last"-style) point per voxel
+    order = np.argsort(cluster, kind='stable')
+    starts = np.zeros(n_vox + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    unique_pos_indices = order[starts[:-1]]
+
+    out = Data()
+    num_nodes = data.num_nodes
+    for k, item in data.items():
+        if k in _INSTANCE_KEYS:
+            if isinstance(item, InstanceData):
+                out._store[k] = item.merge(cluster)
+            else:
+                y = data.get('y')
+                y = y if y is not None else np.zeros_like(item)
+                out._store[k] = _instance_from_dense(cluster, item, y,
+                                                     n_vox)
+            continue
+        if k in _CLUSTER_KEYS and item.ndim == 1:
+            out._store[k] = Cluster(cluster, item, dense=True)
+            continue
+        if not isinstance(item, np.ndarray) or item.shape[0] != num_nodes:
+            out._store[k] = item
+            continue
+        if mode == 'last' or k in _LAST_KEYS:
+            out._store[k] = item[unique_pos_indices]
+            continue
+        if k in _VOTING_KEYS or k in bins:
+            voting = k not in bins
+            n_bins = int(item.max()) + 1 if voting else bins[k]
+            hist = atomic_to_histogram(item, cluster, n_bins)
+            out._store[k] = hist.argmax(-1) if voting else hist
+            continue
+        # mean aggregation
+        v = item.astype(np.float64)
+        acc = np.zeros((n_vox,) + v.shape[1:])
+        np.add.at(acc, cluster, v)
+        v = (acc / counts.reshape(-1, *([1] * (v.ndim - 1)))).astype(
+            np.float32)
+        if k in _NORMAL_KEYS:
+            nn = np.linalg.norm(v, axis=1, keepdims=True)
+            v = np.divide(v, nn, out=v, where=nn > 0)
+        out._store[k] = v
+    out['grid_size'] = np.array([size], dtype=np.float32)
+    return out
+
+
+def _instance_from_dense(cluster, obj, y, n_vox):
+    """Build an InstanceData of (voxel -> overlapping instance) from
+    dense per-point instance ids."""
+    order = np.lexsort((obj, cluster))
+    c, o, yy = cluster[order], obj[order], y[order]
+    key = c.astype(np.int64) * (int(o.max()) + 1 if o.size else 1) + o
+    uniq, first, counts = np.unique(key, return_index=True,
+                                    return_counts=True)
+    c_u, o_u, y_u = c[first], o[first], yy[first]
+    ptr = np.zeros(n_vox + 1, dtype=np.int64)
+    np.cumsum(np.bincount(c_u, minlength=n_vox), out=ptr[1:])
+    return InstanceData(ptr, o_u, counts, y_u)
+
+
+def knn_search(data, k=45, r_max=2.0):
+    """Fixed-radius KNN on the voxel centers (reference KNN transform,
+    src/transforms/neighbors.py:11 over FRNN). Adds `neighbor_index`
+    (-1 padded) and `neighbor_distance`."""
+    nbr, dist = radius_knn(data.pos, r=r_max, k=k, exclude_self=True)
+    data['neighbor_index'] = nbr.astype(np.int64)
+    data['neighbor_distance'] = dist
+    return data
+
+
+def point_features(data, keys=('linearity', 'planarity', 'scattering',
+                               'verticality', 'elevation', 'rgb',
+                               'normal'),
+                   k_min=1, k_step=-1, k_min_search=25,
+                   overwrite=True):
+    """Per-point geometric + radiometric features (reference
+    PointFeatures, src/transforms/point.py:41). Geometric features run
+    on device via ops.geometry (closed-form batched 3x3 eigh)."""
+    import jax.numpy as jnp
+    from ..ops.geometry import geometric_features
+
+    keys = list(keys or [])
+    geof = {'linearity', 'planarity', 'scattering', 'verticality',
+            'curvature', 'length', 'surface', 'volume', 'normal'}
+    need_geof = [k for k in keys if k in geof]
+    if need_geof:
+        nbr = data.neighbor_index
+        mask = nbr >= 0
+        feats = geometric_features(
+            jnp.asarray(data.pos), jnp.asarray(np.maximum(nbr, 0)),
+            jnp.asarray(mask), k_min=max(k_min, 1), k_step=k_step,
+            k_min_search=k_min_search)
+        for k in need_geof:
+            if overwrite or k not in data:
+                data[k] = np.asarray(feats[k], dtype=np.float32)
+    if 'density' in keys:
+        nbr = data.neighbor_index
+        k_eff = (nbr >= 0).sum(1)
+        dmax = np.where(np.isfinite(data.neighbor_distance),
+                        data.neighbor_distance, 0).max(1)
+        data['density'] = (
+            k_eff / np.maximum(dmax, 1e-6) ** 2).reshape(-1, 1).astype(
+            np.float32)
+    # rgb/hsv/lab handled by the dataset readers; 'elevation' by
+    # ground_elevation()
+    return data
+
+
+def ground_elevation(data, z_threshold=1.5, xy_grid=1.0, scale=4.0,
+                     iterations=200, margin=0.1, rng=None):
+    """Estimate the ground plane with RANSAC on low points and store
+    per-point scaled elevation (reference GroundElevation,
+    src/transforms/point.py:185 + src/utils/ground.py:100 RANSAC
+    model). Candidate points: lowest-z per xy cell, below z_threshold
+    above the global minimum."""
+    rng = rng or np.random.default_rng(0)
+    pos = data.pos
+    z0 = pos[:, 2].min()
+    cand = pos[pos[:, 2] < z0 + z_threshold]
+    if xy_grid and xy_grid > 0 and cand.shape[0] > 1000:
+        cells = np.floor(cand[:, :2] / xy_grid).astype(np.int64)
+        key = cells[:, 0] * (cells[:, 1].max() - cells[:, 1].min() + 2) \
+            + cells[:, 1]
+        order = np.lexsort((cand[:, 2], key))
+        k_sorted = key[order]
+        first = np.ones(order.shape[0], dtype=bool)
+        first[1:] = k_sorted[1:] != k_sorted[:-1]
+        cand = cand[order[first]]
+    if cand.shape[0] < 3:
+        data['elevation'] = np.zeros((pos.shape[0], 1), dtype=np.float32)
+        return data
+    best_inliers, best_plane = -1, None
+    n = cand.shape[0]
+    for _ in range(iterations):
+        idx = rng.choice(n, 3, replace=False)
+        p0, p1, p2 = cand[idx]
+        nrm = np.cross(p1 - p0, p2 - p0)
+        nn = np.linalg.norm(nrm)
+        if nn < 1e-9:
+            continue
+        nrm = nrm / nn
+        if abs(nrm[2]) < 0.5:
+            continue  # reject steep planes
+        d = -nrm @ p0
+        dist = np.abs(cand @ nrm + d)
+        inliers = (dist < margin).sum()
+        if inliers > best_inliers:
+            best_inliers, best_plane = inliers, (nrm, d)
+    if best_plane is None:
+        data['elevation'] = ((pos[:, 2] - z0) / scale).reshape(
+            -1, 1).astype(np.float32)
+        return data
+    nrm, d = best_plane
+    sign = np.sign(nrm[2]) or 1.0
+    elev = (pos @ nrm + d) * sign / scale
+    data['elevation'] = elev.reshape(-1, 1).astype(np.float32)
+    return data
+
+
+def adjacency_graph(data, k=10, w=1.0):
+    """Point adjacency graph from KNN (reference AdjacencyGraph,
+    src/transforms/graph.py:45): directed edges to the k nearest
+    neighbors, weights 1/(w + d/mean(d))."""
+    nbr = data.neighbor_index[:, :k]
+    dist = data.neighbor_distance[:, :k]
+    n = data.num_nodes
+    src = np.repeat(np.arange(n, dtype=np.int64), k)
+    dst = nbr.reshape(-1)
+    valid = dst >= 0
+    src, dst = src[valid], dst[valid]
+    data['edge_index'] = np.stack([src, dst])
+    if w > 0:
+        d = dist.reshape(-1)[valid]
+        data['edge_attr'] = (1.0 / (w + d / d.mean())).astype(np.float32)
+    else:
+        data['edge_attr'] = np.ones(src.shape[0], dtype=np.float32)
+    return data
+
+
+def connect_isolated(data, k=1):
+    """Connect isolated nodes to their nearest neighbors (reference
+    ConnectIsolated / Data.connect_isolated, src/data/data.py:481)."""
+    n = data.num_nodes
+    if 'edge_index' not in data or n < 2:
+        return data
+    iso = isolated_nodes_np(data.edge_index, n)
+    if not iso.any():
+        return data
+    iso_idx = np.where(iso)[0]
+    nbr, dist = radius_knn(data.pos, data.pos[iso_idx], r=np.inf
+                           if False else 1e9, k=k, exclude_self=False)
+    # remove self matches
+    new_s, new_t, new_w = [], [], []
+    for row, i in enumerate(iso_idx):
+        for j in range(k):
+            t = nbr[row, j]
+            if t < 0 or t == i:
+                continue
+            new_s.append(i)
+            new_t.append(t)
+            new_w.append(1.0)
+    if new_s:
+        ei = np.stack([np.asarray(new_s), np.asarray(new_t)])
+        data['edge_index'] = np.concatenate([data.edge_index, ei], 1)
+        if 'edge_attr' in data and data.edge_attr.ndim == 1:
+            data['edge_attr'] = np.concatenate(
+                [data.edge_attr, np.asarray(new_w, dtype=np.float32)])
+    return data
+
+
+def add_keys_to(data, keys, to='x', delete_after=False):
+    """Concatenate named attributes into `to` (reference AddKeysTo)."""
+    feats = []
+    existing = data.get(to)
+    if existing is not None:
+        feats.append(existing.reshape(existing.shape[0], -1))
+    for k in keys:
+        v = data.get(k)
+        if v is None:
+            raise KeyError(k)
+        v = v.reshape(v.shape[0], -1).astype(np.float32)
+        if k == 'rgb' and v.max() > 1.5:
+            v = v / 255.0
+        feats.append(v)
+        if delete_after:
+            del data._store[k]
+    data[to] = np.concatenate(feats, axis=1)
+    return data
+
+
+def cut_pursuit_partition(
+        data, regularization=(0.01, 0.1, 0.5),
+        spatial_weight=(0.1, 0.1, 0.1), cutoff=(10, 10, 10),
+        k_adjacency=5, edge_reduce='mean', verbose=False):
+    """Hierarchical superpoint partition (reference CutPursuitPartition,
+    src/transforms/partition.py:22): per level, trim the graph, solve
+    the L0 partition on [spatial_weight*(pos-mean) | x] with
+    reg-scaled edge weights (native greedy solver, see
+    native/greedy_cut.cpp), rebuild the level Data (centroids, feature
+    means, cluster CSR, reduced graph), aggregate label histograms,
+    connect isolated nodes. Returns a NAG."""
+    regs = list(np.atleast_1d(regularization))
+    sws = list(np.atleast_1d(spatial_weight))
+    cuts = list(np.atleast_1d(cutoff))
+    if len(sws) == 1:
+        sws = sws * len(regs)
+    if len(cuts) == 1:
+        cuts = cuts * len(regs)
+
+    d1 = data
+    d1['node_size'] = np.ones(d1.num_nodes, dtype=np.int64)
+    levels = [d1]
+    for level, (reg, cut, sw) in enumerate(zip(regs, cuts, sws)):
+        d1 = levels[level]
+        if d1.num_nodes < 2:
+            break
+        ei, ea = to_trimmed_np(
+            d1.edge_index.astype(np.int64),
+            d1.edge_attr.reshape(-1, 1) if d1.get('edge_attr') is not None
+            and d1.edge_attr.ndim == 1 else d1.get('edge_attr'),
+            reduce=edge_reduce)
+        pos_offset = d1.pos.mean(0)
+        feats = [(d1.pos - pos_offset) * sw]
+        if d1.get('x') is not None:
+            feats.append(d1.x)
+        f = np.concatenate(feats, 1).astype(np.float32)
+        ew = (ea.reshape(-1) * reg) if ea is not None else None
+        node_w = d1.node_size.astype(np.float32)
+        super_index, n_comp = greedy_cut(
+            f, ei, edge_weight=(ea.reshape(-1) if ea is not None
+                                else None),
+            node_weight=node_w, reg=reg, cutoff=cut)
+        if verbose:
+            print(f'level {level}: {d1.num_nodes} -> {n_comp}')
+        d1['super_index'] = super_index
+
+        # component stats
+        S = np.zeros(n_comp)
+        np.add.at(S, super_index, node_w)
+        mu = np.zeros((n_comp, f.shape[1]))
+        np.add.at(mu, super_index, f * node_w[:, None])
+        mu = mu / S[:, None]
+        pos_c = mu[:, :3] / sw + pos_offset
+        x_c = mu[:, 3:] if f.shape[1] > 3 else None
+
+        # reduced graph: cross-component edges with accumulated weight
+        cs, ct = super_index[ei[0]], super_index[ei[1]]
+        cross = cs != ct
+        if cross.any():
+            red_ei = np.stack([cs[cross], ct[cross]])
+            red_ea = (ea.reshape(-1)[cross] if ea is not None
+                      else np.ones(cross.sum(), dtype=np.float32))
+            red_ei, red_ea = to_trimmed_np(
+                red_ei, red_ea.reshape(-1, 1), reduce='sum')
+            red_ea = red_ea.reshape(-1)
+        else:
+            red_ei = np.zeros((2, 0), dtype=np.int64)
+            red_ea = np.zeros(0, dtype=np.float32)
+
+        node_size_new = np.zeros(n_comp, dtype=np.int64)
+        np.add.at(node_size_new, super_index, d1.node_size)
+
+        d2 = Data(
+            pos=pos_c.astype(np.float32),
+            edge_index=red_ei,
+            edge_attr=red_ea.astype(np.float32),
+            sub=Cluster(super_index, np.arange(d1.num_nodes),
+                        dense=True),
+            node_size=node_size_new)
+        if x_c is not None:
+            d2['x'] = x_c.astype(np.float32)
+        if d1.get('obj') is not None and isinstance(d1.obj, InstanceData):
+            d2['obj'] = d1.obj.merge(super_index)
+        if d2.num_nodes > 1:
+            d2 = connect_isolated(d2, k=k_adjacency)
+        y = d1.get('y')
+        if y is not None:
+            assert y.ndim == 2, "expects label histograms"
+            acc = np.zeros((n_comp, y.shape[1]), dtype=np.int64)
+            np.add.at(acc, super_index, y)
+            d2['y'] = acc
+        levels.append(d2)
+    return NAG(levels, start_i_level=0)
+
+
+def segment_features(nag, n_max=32, n_min=5,
+                     keys=('normal', 'log_length', 'log_surface',
+                           'log_volume', 'log_size'),
+                     mean_keys=(), std_keys=(), strict=False,
+                     rng=None):
+    """Per-segment geometric features from sampled member points
+    (reference SegmentFeatures / _compute_cluster_features,
+    src/transforms/graph.py:117-325)."""
+    import jax.numpy as jnp
+    from ..ops.geometry import geometric_features
+
+    rng = rng or np.random.default_rng(0)
+    keys = list(keys or [])
+    for i_level in range(1, nag.absolute_num_levels):
+        d = nag[i_level]
+        num_nodes = d.num_nodes
+        sub_size = nag.get_sub_size(i_level, low=0)
+        sup = nag.get_super_index(i_level, low=0)
+        samples, ptr = _sample_per_segment(sup, num_nodes, n_max, n_min,
+                                           rng)
+        xyz = nag[0].pos + rng.random(nag[0].pos.shape).astype(
+            np.float32) * 1e-8
+        K = int((ptr[1:] - ptr[:-1]).max())
+        nbr = np.full((num_nodes, K), -1, dtype=np.int64)
+        for s in range(num_nodes):
+            lo, hi = ptr[s], ptr[s + 1]
+            nbr[s, :hi - lo] = samples[lo:hi]
+        geof_needed = [k for k in keys
+                       if k.replace('log_', '') in
+                       ('linearity', 'planarity', 'scattering',
+                        'verticality', 'curvature', 'length', 'surface',
+                        'volume', 'normal')]
+        if geof_needed:
+            feats = geometric_features(
+                jnp.asarray(xyz), jnp.asarray(np.maximum(nbr, 0)),
+                jnp.asarray(nbr >= 0), k_min=1, add_self=False)
+            for k in geof_needed:
+                base = k[4:] if k.startswith('log_') else k
+                v = np.asarray(feats[base], dtype=np.float32)
+                d[k] = np.log(v + 1) if k.startswith('log_') else v
+        if 'log_size' in keys:
+            d['log_size'] = ((np.log(sub_size + 1).reshape(-1, 1)
+                              - np.log(2)) / 10).astype(np.float32)
+        for k in mean_keys:
+            v = nag[0].get(k)
+            if v is None:
+                if strict:
+                    raise KeyError(k)
+                continue
+            acc = np.zeros((num_nodes,) + v.shape[1:])
+            np.add.at(acc, sup, v)
+            cnt = np.bincount(sup, minlength=num_nodes).astype(
+                np.float64).reshape(-1, *([1] * (v.ndim - 1)))
+            m = (acc / np.maximum(cnt, 1)).astype(np.float32)
+            if k == 'normal':
+                # mean orientation: flip to a canonical halfspace first
+                vv = v * np.sign(v[:, 2:3] + 1e-12)
+                acc = np.zeros((num_nodes, 3))
+                np.add.at(acc, sup, vv)
+                m = (acc / np.maximum(cnt, 1)).astype(np.float32)
+                nn = np.linalg.norm(m, axis=1, keepdims=True)
+                m = np.divide(m, nn, out=m, where=nn > 0)
+            d[f'mean_{k}'] = m
+        for k in std_keys:
+            v = nag[0].get(k)
+            if v is None:
+                if strict:
+                    raise KeyError(k)
+                continue
+            cnt = np.bincount(sup, minlength=num_nodes).astype(np.float64)
+            acc = np.zeros((num_nodes,) + v.shape[1:])
+            np.add.at(acc, sup, v.astype(np.float64))
+            mean = acc / np.maximum(cnt, 1).reshape(
+                -1, *([1] * (v.ndim - 1)))
+            dev = (v - mean[sup]) ** 2
+            acc2 = np.zeros_like(acc)
+            np.add.at(acc2, sup, dev)
+            var = acc2 / np.maximum(cnt - 1, 1).reshape(
+                -1, *([1] * (v.ndim - 1)))
+            d[f'std_{k}'] = np.sqrt(var).astype(np.float32)
+    return nag
+
+
+def _sample_per_segment(sup, num_seg, n_max, n_min, rng):
+    """Sample up to n_max (at least min(count, n_min)) point ids per
+    segment; returns (flat sample ids, CSR pointers)."""
+    counts = np.bincount(sup, minlength=num_seg)
+    order = np.argsort(sup, kind='stable')
+    starts = np.zeros(num_seg + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    budget = np.minimum(np.clip(counts, n_min, n_max), counts)
+    r = rng.random(sup.shape[0])
+    seg_sorted = np.lexsort((r, sup))
+    rank = np.empty(sup.shape[0], dtype=np.int64)
+    rank[seg_sorted] = np.arange(sup.shape[0]) - starts[sup[seg_sorted]]
+    keep = rank < budget[sup]
+    samples = np.where(keep)[0]
+    samples = samples[np.argsort(sup[samples], kind='stable')]
+    ptr = np.zeros(num_seg + 1, dtype=np.int64)
+    np.cumsum(np.bincount(sup[samples], minlength=num_seg), out=ptr[1:])
+    return samples, ptr
+
+
+def radius_horizontal_graph(
+        nag, k_min=1, k_max=30, gap=(0.2, 0.5, 1.0), se_ratio=0.3,
+        se_min=20, rng=None):
+    """Superpoint adjacency graph + minimalistic edge features
+    (reference RadiusHorizontalGraph, src/transforms/graph.py:594).
+
+    For each level 1+: sample points per segment, find segment pairs
+    with samples within `gap` of each other (native radius KNN), trim
+    to i<j, cap each node's degree at k_max by subedge distance, and
+    compute the reference's 7-dim minimalistic edge features from the
+    matched sample pairs: [mean_off(3) | std_off(3) | mean_dist(1)]
+    (reference `_minimalistic_horizontal_edge_features`). Subedge
+    matching is mutual-nearest between segment samples — a simplified
+    (documented) variant of the reference's iterative
+    scatter_nearest_neighbor with halfspace/bbox filters."""
+    rng = rng or np.random.default_rng(0)
+    gaps = list(np.atleast_1d(gap))
+    while len(gaps) < nag.absolute_num_levels - 1:
+        gaps.append(gaps[-1])
+    for i_level in range(1, nag.absolute_num_levels):
+        d = nag[i_level]
+        g = float(gaps[i_level - 1])
+        num_seg = d.num_nodes
+        sup = nag.get_super_index(i_level, low=0)
+        sub_size = np.bincount(sup, minlength=num_seg)
+        n_max_se = np.clip((sub_size * se_ratio).astype(np.int64),
+                           se_min, 10 * se_min)
+        samples, ptr = _sample_per_segment(
+            sup, num_seg, int(n_max_se.max()), se_min, rng)
+        pts = nag[0].pos[samples]
+        seg_of = sup[samples]
+        # radius search among samples
+        k_search = 16
+        nbr, dist = radius_knn(pts, r=g, k=k_search, exclude_self=True)
+        src_pt = np.repeat(np.arange(pts.shape[0]), k_search)
+        dst_pt = nbr.reshape(-1)
+        valid = dst_pt >= 0
+        src_pt, dst_pt = src_pt[valid], dst_pt[valid]
+        dd = dist.reshape(-1)[valid]
+        ss, tt = seg_of[src_pt], seg_of[dst_pt]
+        cross = ss != tt
+        src_pt, dst_pt, dd = src_pt[cross], dst_pt[cross], dd[cross]
+        ss, tt = ss[cross], tt[cross]
+        if ss.shape[0] == 0:
+            d['edge_index'] = np.zeros((2, 0), dtype=np.int64)
+            d['edge_attr'] = np.zeros((0, 7), dtype=np.float32)
+            continue
+        # orient i<j
+        flip = ss > tt
+        s2, t2 = ss.copy(), tt.copy()
+        s2[flip], t2[flip] = tt[flip], ss[flip]
+        off = nag[0].pos[samples[dst_pt]] - nag[0].pos[samples[src_pt]]
+        off[flip] = -off[flip]
+        pair_key = s2.astype(np.int64) * num_seg + t2
+        uniq, inv = np.unique(pair_key, return_inverse=True)
+        n_pairs = uniq.shape[0]
+        # per-pair subedge stats
+        cnt = np.bincount(inv).astype(np.float64)
+        mean_off = np.zeros((n_pairs, 3))
+        np.add.at(mean_off, inv, off)
+        mean_off /= cnt[:, None]
+        dev = (off - mean_off[inv]) ** 2
+        var = np.zeros((n_pairs, 3))
+        np.add.at(var, inv, dev)
+        std_off = np.sqrt(var / np.maximum(cnt - 1, 1)[:, None])
+        mean_dist = np.zeros(n_pairs)
+        np.add.at(mean_dist, inv, dd)
+        mean_dist /= cnt
+        se = np.stack([(uniq // num_seg), (uniq % num_seg)])
+        # cap degree at k_max by mean subedge distance
+        keep = _cap_degree(se, mean_dist, num_seg, k_max, k_min)
+        se = se[:, keep]
+        ea = np.concatenate(
+            [mean_off[keep], std_off[keep],
+             mean_dist[keep].reshape(-1, 1)], 1).astype(np.float32)
+        d['edge_index'] = se
+        d['edge_attr'] = ea
+    return nag
+
+
+def _cap_degree(se, score, num_seg, k_max, k_min):
+    """Degree cap: an edge survives if it ranks within the k_max
+    closest (by score) for BOTH endpoints, or within the k_min closest
+    for EITHER (so no node is left under-connected)."""
+    E = se.shape[1]
+    ranks = []
+    for side in (0, 1):
+        ids = se[side]
+        order = np.lexsort((score, ids))
+        counts = np.bincount(ids, minlength=num_seg)
+        starts = np.zeros(num_seg + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        rank = np.empty(E, dtype=np.int64)
+        rank[order] = np.arange(E) - starts[ids[order]]
+        ranks.append(rank)
+    r0, r1 = ranks
+    return ((r0 < k_max) & (r1 < k_max)) | (r0 < k_min) | (r1 < k_min)
+
+
+def preprocess_cloud(
+        data, voxel=0.03, knn=45, knn_r=2.0, num_classes=13,
+        partition_hf=('rgb', 'linearity', 'planarity', 'scattering',
+                      'verticality', 'elevation'),
+        point_hf_preprocess=('linearity', 'planarity', 'scattering',
+                             'verticality', 'elevation', 'normal'),
+        pcp_regularization=(0.01, 0.1, 0.5),
+        pcp_spatial_weight=(0.1, 0.1, 0.1),
+        pcp_cutoff=(10, 10, 10), pcp_k_adjacency=10, pcp_w_adjacency=1,
+        graph_k_min=1, graph_k_max=30, graph_gap=(0.2, 0.5, 1.0),
+        ground_threshold=1.5, ground_scale=4.0,
+        segment_mean_hf=(), segment_std_hf=(), rng=None):
+    """Full raw-cloud -> NAG preprocessing (the reference
+    `pre_transform` chain)."""
+    rng = rng or np.random.default_rng(0)
+    data = save_node_index(data, key='sub')
+    data = grid_sampling(data, voxel, hist_key='y',
+                         hist_size=num_classes + 1)
+    data = knn_search(data, k=knn, r_max=knn_r)
+    data = point_features(data, keys=point_hf_preprocess)
+    data = ground_elevation(data, z_threshold=ground_threshold,
+                            scale=ground_scale, rng=rng)
+    data = adjacency_graph(data, k=pcp_k_adjacency, w=pcp_w_adjacency)
+    data = connect_isolated(data, k=1)
+    data = add_keys_to(data, list(partition_hf), to='x',
+                       delete_after=False)
+    nag = cut_pursuit_partition(
+        data, regularization=pcp_regularization,
+        spatial_weight=pcp_spatial_weight, cutoff=pcp_cutoff,
+        k_adjacency=pcp_k_adjacency)
+    for i in nag.levels:
+        nag[i]._store.pop('x', None)
+    nag = segment_features(nag, mean_keys=segment_mean_hf,
+                           std_keys=segment_std_hf, rng=rng)
+    nag = radius_horizontal_graph(
+        nag, k_min=graph_k_min, k_max=graph_k_max, gap=graph_gap,
+        rng=rng)
+    # drop working keys not saved by the reference either
+    for k in ('neighbor_index', 'neighbor_distance', 'edge_index',
+              'edge_attr', 'node_size', 'grid_size'):
+        nag[0]._store.pop(k, None)
+    return nag

@@ -1,0 +1,1 @@
+from .histogram import atomic_to_histogram

@@ -1,0 +1,75 @@
+"""Config system + experiment builder tests (analogue of reference
+tests/test_configs.py: instantiate everything from config)."""
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from superpoint_transformer_tpu.config.loader import load_config
+from superpoint_transformer_tpu.experiment import (
+    build_model, build_task, build_batch_config)
+
+CONFIG_DIR = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                      'configs')
+
+
+def test_compose_train_default():
+    cfg = load_config(CONFIG_DIR, 'train')
+    assert cfg.datamodule.num_classes == 13
+    assert cfg.model.net.down_num_heads == 16
+    # interpolation resolved
+    assert cfg.model.num_classes == 13
+
+
+def test_experiment_override():
+    cfg = load_config(CONFIG_DIR, 'train',
+                      ['experiment=semantic/s3dis'])
+    assert cfg.model.optimizer.lr == 0.1
+    assert cfg.trainer.max_epochs == 2000
+
+
+def test_cli_override():
+    cfg = load_config(CONFIG_DIR, 'train',
+                      ['model.optimizer.lr=0.5',
+                       'trainer.max_epochs=7',
+                       'datamodule.voxel=0.05'])
+    assert cfg.model.optimizer.lr == 0.5
+    assert cfg.trainer.max_epochs == 7
+    assert cfg.datamodule.voxel == 0.05
+
+
+def test_dales_experiment():
+    cfg = load_config(CONFIG_DIR, 'train',
+                      ['experiment=semantic/dales'])
+    assert cfg.datamodule.num_classes == 8
+    assert cfg.datamodule.dataset == 'dales'
+    model = build_model(cfg)
+    # 3 down stages for spt-3
+    assert len(model.down_dim) == 3
+
+
+def test_build_model_matches_reference_dims():
+    """The S3DIS SPT-2 model built from config must reproduce the
+    published ~212k parameter count (reference README.md:69)."""
+    import jax
+    cfg = load_config(CONFIG_DIR, 'train',
+                      ['experiment=semantic/s3dis'])
+    model = build_model(cfg)
+    assert model.point_mlp == (12, 32, 64, 128)
+    assert model.down_in_mlp[0][0] == 4 + 128
+    assert model.down_in_mlp[1][0] == 4 + 64
+    assert model.up_in_mlp[0][0] == 4 + 64 + 64
+    assert model.h_edge_mlp == (18, 32, 32)
+    assert model.in_rpe_dim == 32
+
+
+def test_build_task_and_batch_config():
+    cfg = load_config(CONFIG_DIR, 'train',
+                      ['experiment=semantic/s3dis'])
+    task = build_task(cfg, total_steps=100)
+    assert task.num_classes == 13
+    assert task.loss_type == 'ce_kl'
+    bc = build_batch_config(cfg)
+    assert bc.num_classes == 13
+    assert 'rgb' in bc.point_hf
+    assert len(bc.edge_hf) == 12

@@ -1,0 +1,190 @@
+"""SuperCluster panoptic subsystem tests: instance overlap ops,
+instance graph + affinities, edge-affinity training step, instance
+partition, PQ metric."""
+import numpy as np
+import pytest
+import jax
+
+from superpoint_transformer_tpu.data import Data, Cluster, InstanceData
+from superpoint_transformer_tpu.ops.instance import (
+    instance_major, instance_graph_affinity)
+from superpoint_transformer_tpu.metrics.panoptic import (
+    PanopticQuality3D, panoptic_quality_from_overlaps)
+from superpoint_transformer_tpu.models.panoptic import (
+    PanopticTask, instance_partition)
+
+
+def make_instance_data():
+    """3 clusters; clusters 0,1 mostly object A(y=0), cluster 2 object
+    B(y=1)."""
+    ptr = np.array([0, 2, 3, 5])
+    obj = np.array([10, 11, 10, 11, 11])
+    count = np.array([90, 10, 100, 5, 95])
+    y = np.array([0, 1, 0, 0, 1])
+    return InstanceData(ptr, obj, count, y)
+
+
+def test_instance_major():
+    inst = make_instance_data()
+    obj, cnt, y = instance_major(inst, num_classes=5)
+    np.testing.assert_array_equal(obj, [10, 10, 11])
+    np.testing.assert_array_equal(cnt, [90, 100, 95])
+    np.testing.assert_array_equal(y, [0, 0, 1])
+
+
+def test_instance_graph_affinity():
+    inst = make_instance_data()
+    ei = np.array([[0, 1, 2], [1, 2, 0]])
+    oei, aff = instance_graph_affinity(inst, ei, num_classes=5)
+    assert (oei[0] < oei[1]).all()
+    # edge (0,1): same object 10 -> high affinity
+    # edge (1,2): objects 10 vs 11 -> low affinity
+    d = {(int(a), int(b)): float(v)
+         for a, b, v in zip(oei[0], oei[1], aff)}
+    assert d[(0, 1)] > 0.8
+    assert d[(1, 2)] < 0.2
+
+
+def test_pq_perfect_prediction():
+    """Perfect instance predictions give PQ=100."""
+    # 2 gt instances; 2 predicted instances matching exactly
+    pq = PanopticQuality3D(num_classes=3)
+    pq.update(pred_of_item=[0, 1], gt_of_item=[0, 1],
+              count_of_item=[100, 50], pred_sem=[0, 1],
+              gt_sem=[0, 1])
+    m = pq.compute()
+    assert m['pq'] == pytest.approx(100.0)
+    assert m['sq'] == pytest.approx(100.0)
+    assert m['rq'] == pytest.approx(100.0)
+
+
+def test_pq_half_wrong():
+    pq = PanopticQuality3D(num_classes=2)
+    # pred 0 covers gt 0 with IoU 0.6; pred 1 is pure false positive
+    pq.update(pred_of_item=[0, 0, 1], gt_of_item=[0, 1, 1],
+              count_of_item=[60, 40, 30],
+              pred_sem=[0, 1], gt_sem=[0, 1])
+    m = pq.compute()
+    # class 0: tp=1 iou=0.6 -> pq0 = 0.6
+    # class 1: gt 1 unmatched (iou 30/(70+30-30)=0.43<0.5), pred 1
+    #          unmatched -> fp=1, fn=1 -> pq1 = 0
+    assert m['pq'] == pytest.approx((60.0 + 0.0) / 2, abs=1e-3)
+
+
+def test_pq_void_handling():
+    pq = PanopticQuality3D(num_classes=2)
+    # gt instance is void (label -1): pred mostly overlapping it is
+    # not punished as FP
+    pq.update(pred_of_item=[0], gt_of_item=[0], count_of_item=[100],
+              pred_sem=[0], gt_sem=[-1])
+    m = pq.compute()
+    assert m['pq'] == 0.0  # nothing matched, but no fp/fn either
+    assert pq.fp.sum() == 0 and pq.fn.sum() == 0
+
+
+def test_instance_partition_separates():
+    """Nodes of two objects with low cross affinity get separated."""
+    rng = np.random.default_rng(0)
+    n = 30
+    pos = rng.normal(size=(n, 3)).astype(np.float32)
+    pos[15:, 0] += 10
+    logits = np.zeros((n, 4), dtype=np.float32)
+    logits[:15, 0] = 5.0
+    logits[15:, 1] = 5.0
+    # chain edges
+    s = np.arange(n - 1)
+    ei = np.stack([s, s + 1])
+    aff_logits = np.full(n - 1, 5.0, dtype=np.float32)
+    aff_logits[14] = -5.0  # cut between the two objects
+    obj = instance_partition(
+        pos, logits, ei, aff_logits, regularization=1.0, cutoff=1)
+    assert len(np.unique(obj[:15])) == 1
+    assert len(np.unique(obj[15:])) == 1
+    assert obj[0] != obj[-1]
+
+
+def test_instance_partition_stuff_merge():
+    rng = np.random.default_rng(1)
+    n = 20
+    pos = rng.normal(size=(n, 3)).astype(np.float32)
+    pos[10:, 0] += 50
+    logits = np.zeros((n, 3), dtype=np.float32)
+    logits[:, 2] = 5.0  # all stuff class 2
+    s = np.arange(n - 1)
+    ei = np.stack([s, s + 1])
+    aff = np.full(n - 1, 5.0, dtype=np.float32)
+    aff[9] = -5.0
+    obj = instance_partition(
+        pos, logits, ei, aff, regularization=1.0, cutoff=1,
+        stuff_classes=(2,))
+    # stuff merge collapses both pieces into one instance
+    assert len(np.unique(obj)) == 1
+
+
+def test_panoptic_train_step():
+    """Panoptic training step runs and decreases the loss on a scene
+    with instance labels."""
+    from superpoint_transformer_tpu.transforms import (
+        BatchConfig, prepare_batch)
+    from superpoint_transformer_tpu.transforms.preprocess import (
+        preprocess_cloud)
+    from tests.test_preprocess import synthetic_scene
+    from tests.test_train import tiny_model
+
+    data = synthetic_scene()
+    # per-patch instances: 2 objects per class patch
+    rng = np.random.default_rng(0)
+    n = data.num_nodes
+    data['obj'] = (data.y * 2 + (data.pos[:, 0] % 2 < 1)).astype(
+        np.int64)
+    nag = preprocess_cloud(
+        data, voxel=0.1, knn=12, knn_r=1.0, num_classes=3,
+        pcp_regularization=(0.05, 0.2), pcp_spatial_weight=(2.0, 0.5),
+        pcp_cutoff=(5, 5), graph_gap=(0.5, 1.0))
+    assert isinstance(nag[1].get('obj'), InstanceData)
+
+    cfg = BatchConfig(num_classes=3, sample_graph_r=-1,
+                      sample_segment_ratio=0, instance=True,
+                      instance_radius=0.6)
+    batch = prepare_batch([nag], cfg, train=False)
+    assert batch[1].obj_edge_index is not None
+    assert batch[1].obj_edge_affinity is not None
+
+    task = PanopticTask(net=tiny_model(), num_classes=3,
+                        multi_stage_loss_lambdas=(1., 50.),
+                        total_steps=30, warmup_steps=2,
+                        stuff_classes=())
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    losses = []
+    rng_j = jax.random.PRNGKey(0)
+    for _ in range(8):
+        rng_j, sub = jax.random.split(rng_j)
+        state, metrics = task.train_step(state, batch, sub)
+        losses.append(float(metrics['loss']))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+    # full inference path: eval -> instance partition -> PQ
+    out = task.eval_step(state, batch)
+    lvl1 = batch[1]
+    emask = np.asarray(lvl1.obj_edge_mask)
+    ei = np.asarray(lvl1.obj_edge_index)[:, emask]
+    ea = np.asarray(out['edge_affinity_logits'])[emask]
+    nmask = np.asarray(lvl1.node_mask)
+    n1 = int(np.asarray(lvl1.num_nodes))
+    logits1 = np.asarray(out['logits_level1'])[:n1, :3]
+    obj_pred = instance_partition(
+        np.asarray(lvl1.pos)[:n1], logits1, ei, ea,
+        regularization=10.0, cutoff=1)
+    assert obj_pred.shape[0] == n1
+    # PQ from merged overlaps
+    pred_inst = nag[1].obj.merge(obj_pred)
+    pq = PanopticQuality3D(num_classes=3)
+    pred_sem = np.zeros(int(obj_pred.max()) + 1, dtype=np.int64)
+    for c in range(pred_sem.shape[0]):
+        m = obj_pred == c
+        if m.any():
+            pred_sem[c] = logits1[m].sum(0).argmax()
+    pq.update_from_instance_data(pred_inst, pred_sem)
+    m = pq.compute()
+    assert 0 <= m['pq'] <= 100

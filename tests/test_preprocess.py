@@ -1,0 +1,183 @@
+"""Preprocessing pipeline tests: native kernels (radius KNN, greedy
+L0 partition) and the full raw-cloud -> NAG chain on a synthetic
+scene with known structure."""
+import numpy as np
+import pytest
+
+from superpoint_transformer_tpu.data import Data, NAG
+from superpoint_transformer_tpu.ops.native import (
+    greedy_cut, radius_knn, native_available)
+from superpoint_transformer_tpu.transforms.preprocess import (
+    grid_sampling, knn_search, adjacency_graph, cut_pursuit_partition,
+    preprocess_cloud, save_node_index)
+
+
+def synthetic_scene(n_per=800, seed=0):
+    """Three well-separated planar patches with distinct colors and
+    labels — the partition should isolate them."""
+    rng = np.random.default_rng(seed)
+    clouds, rgbs, ys = [], [], []
+    offsets = [(0, 0, 0), (5, 0, 0), (0, 5, 2)]
+    colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    for i, (off, col) in enumerate(zip(offsets, colors)):
+        p = np.zeros((n_per, 3), dtype=np.float32)
+        p[:, 0] = rng.uniform(0, 2, n_per)
+        p[:, 1] = rng.uniform(0, 2, n_per)
+        p[:, 2] = rng.normal(0, 0.01, n_per)
+        p += np.asarray(off, dtype=np.float32)
+        clouds.append(p)
+        rgbs.append(np.tile(np.asarray(col, np.uint8), (n_per, 1)))
+        ys.append(np.full(n_per, i, dtype=np.int64))
+    return Data(pos=np.concatenate(clouds),
+                rgb=np.concatenate(rgbs),
+                y=np.concatenate(ys))
+
+
+def test_radius_knn_vs_bruteforce():
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(0, 2, (300, 3)).astype(np.float32)
+    nbr, dist = radius_knn(pts, r=0.5, k=8, exclude_self=True)
+    # brute force
+    d2 = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+    np.fill_diagonal(d2, np.inf)
+    for i in range(0, 300, 37):
+        ref = np.sort(d2[i][d2[i] <= 0.5])[:8]
+        got = dist[i][nbr[i] >= 0]
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_greedy_cut_separates_components():
+    """Two clusters with distinct features and a weak bridge edge:
+    the solver must cut the bridge."""
+    n = 40
+    f = np.zeros((2 * n, 2), dtype=np.float32)
+    f[n:, 0] = 10.0
+    # chain edges inside each cluster + 1 bridge
+    s = np.arange(2 * n - 1)
+    t = s + 1
+    ei = np.stack([s, t])
+    si, n_comp = greedy_cut(f, ei, reg=1.0, cutoff=0)
+    assert n_comp == 2
+    assert len(set(si[:n])) == 1 and len(set(si[n:])) == 1
+    assert si[0] != si[-1]
+
+
+def test_greedy_cut_energy_descends():
+    """The partition energy must not exceed the singleton energy and
+    must beat a random partition of the same granularity."""
+    rng = np.random.default_rng(2)
+    n = 200
+    f = rng.normal(size=(n, 3)).astype(np.float32)
+    f[:100] += 4
+    s = np.repeat(np.arange(n), 5)
+    t = rng.integers(0, n, 5 * n)
+    keep = s != t
+    ei = np.stack([s[keep], t[keep]])
+    reg = 0.5
+    si, n_comp = greedy_cut(f, ei, reg=reg, cutoff=0)
+
+    def energy(assign):
+        n_c = assign.max() + 1
+        mu = np.zeros((n_c, 3))
+        cnt = np.bincount(assign, minlength=n_c).astype(np.float64)
+        np.add.at(mu, assign, f)
+        mu /= np.maximum(cnt[:, None], 1)
+        fid = ((f - mu[assign]) ** 2).sum()
+        cut = (assign[ei[0]] != assign[ei[1]]).sum()
+        return fid + reg * cut
+
+    e_solver = energy(si)
+    e_singleton = reg * ei.shape[1]  # all edges cut, zero fidelity
+    assert e_solver < e_singleton
+    rand = rng.integers(0, max(n_comp, 1), n)
+    assert e_solver < energy(rand)
+
+
+def test_greedy_cut_cutoff():
+    rng = np.random.default_rng(3)
+    n = 100
+    f = rng.normal(size=(n, 2)).astype(np.float32) * 10  # noisy
+    s = np.arange(n - 1)
+    ei = np.stack([s, s + 1])
+    si, n_comp = greedy_cut(f, ei, reg=0.01, cutoff=5)
+    sizes = np.bincount(si)
+    assert (sizes >= 5).all() or n_comp == 1
+
+
+def test_grid_sampling_semantics():
+    data = synthetic_scene(n_per=200)
+    data = save_node_index(data, key='sub')
+    n_raw = data.num_nodes
+    out = grid_sampling(data, 0.25, hist_key='y', hist_size=4)
+    assert out.num_nodes < n_raw
+    # 'y' becomes a histogram summing to the voxel populations
+    assert out.y.shape[1] == 4
+    assert out.y.sum() == n_raw
+    # 'sub' becomes a Cluster covering all raw points exactly once
+    assert out.sub.num_items == n_raw
+    np.testing.assert_array_equal(np.sort(out.sub.points),
+                                  np.arange(n_raw))
+    # rgb averaged per voxel stays in range
+    assert out.rgb.min() >= 0 and out.rgb.max() <= 255
+
+
+def test_full_preprocess_pipeline():
+    data = synthetic_scene()
+    nag = preprocess_cloud(
+        data, voxel=0.1, knn=12, knn_r=1.0, num_classes=3,
+        partition_hf=('rgb', 'linearity', 'planarity', 'scattering',
+                      'verticality', 'elevation'),
+        pcp_regularization=(0.05, 0.2), pcp_spatial_weight=(2.0, 0.5),
+        pcp_cutoff=(5, 5), graph_gap=(0.5, 1.0))
+    assert nag.num_levels == 3
+    # hierarchy is consistent
+    assert nag[0].super_index.max() == nag[1].num_nodes - 1
+    assert nag[1].super_index.max() == nag[2].num_nodes - 1
+    # partition respects the 3 separated patches: the purity of the
+    # level-1 partition must be near-perfect (patches are distinct in
+    # space AND color)
+    y0 = np.argmax(nag[0].y, 1) if nag[0].y.ndim == 2 else nag[0].y
+    sup = nag[0].super_index
+    n1 = nag[1].num_nodes
+    purity_num = 0
+    for s in range(n1):
+        labs = y0[sup == s]
+        if labs.size:
+            purity_num += np.bincount(labs).max()
+    purity = purity_num / y0.shape[0]
+    assert purity > 0.99, purity
+    # level-1 has horizontal edges + 7-dim minimalistic features
+    assert nag[1].num_edges > 0
+    assert nag[1].edge_attr.shape[1] == 7
+    # i<j trimmed
+    assert (nag[1].edge_index[0] < nag[1].edge_index[1]).all()
+    # segment features exist
+    for k in ('normal', 'log_length', 'log_surface', 'log_volume',
+              'log_size'):
+        assert k in nag[1], k
+    # elevation: planar patches at z=0 have near-zero elevation
+    assert 'elevation' in nag[0]
+
+
+def test_preprocessed_nag_roundtrip_and_forward(tmp_path):
+    """Our own preprocessing output must feed the model end-to-end."""
+    import jax
+    from superpoint_transformer_tpu.transforms import (
+        BatchConfig, prepare_batch)
+    from tests.test_train import tiny_model
+
+    data = synthetic_scene()
+    nag = preprocess_cloud(
+        data, voxel=0.1, knn=12, knn_r=1.0, num_classes=3,
+        pcp_regularization=(0.05, 0.2), pcp_spatial_weight=(2.0, 0.5),
+        pcp_cutoff=(5, 5), graph_gap=(0.5, 1.0))
+    p = str(tmp_path / 'pre.h5')
+    nag.save(p)
+    nag2 = NAG.load(p, non_fp_to_long=True, rgb_to_float=True)
+    cfg = BatchConfig(num_classes=3, sample_graph_r=-1,
+                      sample_segment_ratio=0)
+    batch = prepare_batch([nag2], cfg, train=False)
+    model = tiny_model()
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    outs = model.apply(variables, batch, train=False)
+    assert np.isfinite(np.asarray(outs[0])).all()

@@ -1,0 +1,81 @@
+"""Training CLI (analogue of reference src/train.py):
+
+    python train.py experiment=semantic/s3dis [key=value ...]
+
+Composes configs/ (hydra-style grammar), preprocesses missing clouds,
+builds the task and trains with checkpointing.
+"""
+import os
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
+
+import jax
+
+from superpoint_transformer_tpu.utils.jax_setup import setup_jax
+setup_jax()
+import numpy as np
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    here = osp.dirname(osp.abspath(__file__))
+
+    from superpoint_transformer_tpu.config.loader import load_config
+    from superpoint_transformer_tpu.experiment import (
+        build_task, build_datasets, build_batch_config)
+    from superpoint_transformer_tpu.datasets import DataLoader
+    from superpoint_transformer_tpu.trainer import Trainer
+
+    cfg = load_config(osp.join(here, 'configs'), 'train', argv)
+    seed = int(cfg.get('seed', 0))
+
+    datasets = build_datasets(cfg, stages=('train', 'val'))
+    for ds in datasets.values():
+        ds.process()
+
+    batch_cfg = build_batch_config(cfg)
+    batch_size = int(cfg.datamodule.dataloader.batch_size)
+    train_loader = DataLoader(datasets['train'], batch_size=batch_size,
+                              shuffle=True, seed=seed)
+    val_loader = DataLoader(datasets['val'], batch_size=1)
+
+    max_epochs = int(cfg.trainer.max_epochs)
+    steps_per_epoch = max(len(train_loader), 1)
+    warmup = int(cfg.model.scheduler.num_warmup) * steps_per_epoch
+
+    class_weight = None
+    if cfg.model.weighted_loss:
+        class_weight = datasets['train'].get_class_weight(
+            smooth=str(cfg.model.get('weighted_loss_smooth', 'sqrt')))
+
+    task = build_task(cfg, total_steps=max_epochs * steps_per_epoch,
+                      class_weight=class_weight)
+
+    # init on a first batch
+    nags = next(iter(DataLoader(datasets['train'],
+                                batch_size=batch_size)))
+    from superpoint_transformer_tpu.transforms.prepare import (
+        prepare_batch)
+    example = prepare_batch(nags, batch_cfg, train=False)
+    state = task.init_state(jax.random.PRNGKey(seed), example)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(state.params))
+    print(f'model parameters: {n_params:,}')
+
+    trainer = Trainer(
+        task=task, batch_cfg=batch_cfg,
+        output_dir=str(cfg.get('output_dir', 'outputs')),
+        max_epochs=max_epochs,
+        check_val_every_n_epoch=int(
+            cfg.trainer.check_val_every_n_epoch),
+        seed=seed)
+    if cfg.get('ckpt_path'):
+        state = trainer.load_checkpoint(state, cfg.ckpt_path)
+    state = trainer.fit(state, train_loader, val_loader)
+    return trainer.best_miou
+
+
+if __name__ == '__main__':
+    main()
