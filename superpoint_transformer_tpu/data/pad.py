@@ -25,8 +25,8 @@ from .nag import NAG
 from .csr import Cluster
 from ..ops.graph import edges_to_dense_neighbors
 
-__all__ = ['PaddedLevel', 'PaddedNAG', 'batch_nags', 'sort_nag_by_super',
-           'pad_nag', 'bucket']
+__all__ = ['PaddedLevel', 'PaddedNAG', 'PaddedPointCloud', 'batch_nags',
+           'sort_nag_by_super', 'pad_nag', 'pad_point_cloud', 'bucket']
 
 
 @struct.dataclass
@@ -48,6 +48,28 @@ class PaddedLevel:
     obj_edge_index: Optional[jnp.ndarray] = None   # [2, Eo] (panoptic)
     obj_edge_mask: Optional[jnp.ndarray] = None    # [Eo]
     obj_edge_affinity: Optional[jnp.ndarray] = None  # [Eo] target
+    cnn_nbr_idx: Optional[jnp.ndarray] = None     # [N, K^3] sparse conv
+
+    @property
+    def capacity(self):
+        return self.pos.shape[0]
+
+
+@struct.dataclass
+class PaddedPointCloud:
+    """Padded single-level point cloud for the EZ-SP partition stage
+    (stage-1 training consumes voxels + adjacency edges directly,
+    reference PartitionAndSemanticModule.forward,
+    src/models/semantic.py:1505)."""
+    pos: jnp.ndarray                      # [N, 3]
+    x: jnp.ndarray                        # [N, D]
+    node_mask: jnp.ndarray                # [N] bool
+    batch: jnp.ndarray                    # [N] int32
+    num_nodes: jnp.ndarray                # [] int32
+    cnn_nbr_idx: jnp.ndarray              # [N, K^3] int32
+    edge_index: jnp.ndarray               # [2, E] int32
+    edge_mask: jnp.ndarray                # [E] bool
+    y: Optional[jnp.ndarray] = None       # [N, C+1] histograms
 
     @property
     def capacity(self):
@@ -279,6 +301,14 @@ def pad_nag(nag, num_classes=None, node_caps=None, k_caps=None,
                 ef[:n] = ea[edge_id] * nbr_mask[..., None]
                 kw['edge_feat'] = ef
 
+        if 'coords' in d:
+            from ..ops.voxel_conv import build_sparse_conv_neighbors
+            nbr = build_sparse_conv_neighbors(
+                d.coords, batch=batch_vec)
+            full = np.full((cap, nbr.shape[1]), -1, dtype=np.int32)
+            full[:n] = nbr
+            kw['cnn_nbr_idx'] = full
+
         if 'obj_edge_index' in d:
             oe = d.obj_edge_index
             e_cap = bucket(oe.shape[1], bucket_mode)
@@ -304,3 +334,80 @@ def pad_nag(nag, num_classes=None, node_caps=None, k_caps=None,
     return PaddedNAG(levels=tuple(levels),
                      start_i_level=nag.start_i_level,
                      num_graphs=num_graphs)
+
+
+def pad_point_cloud(data_list, num_classes=None, node_cap=None,
+                    edge_cap=None, kernel_size=3, dilation=1,
+                    bucket_mode='pow2'):
+    """Collate + pad level-0 `Data` objects (pos, x, coords,
+    edge_index, y) into a PaddedPointCloud for the EZ-SP partition
+    stage. The sparse-conv rulebook is built here, once per batch."""
+    from .data import Data
+    from ..ops.voxel_conv import build_sparse_conv_neighbors
+
+    node_off = np.cumsum([0] + [d.num_nodes for d in data_list])
+    n = int(node_off[-1])
+    pos = np.concatenate([np.asarray(d.pos) for d in data_list])
+    x = np.concatenate(
+        [np.asarray(d.x, np.float32) for d in data_list])
+    batch_vec = np.concatenate([
+        np.full(d.num_nodes, j, dtype=np.int64)
+        for j, d in enumerate(data_list)])
+    ei = np.concatenate([
+        np.asarray(d.edge_index, np.int64) + node_off[j]
+        for j, d in enumerate(data_list)], axis=1)
+    coords = np.concatenate(
+        [np.asarray(d.coords, np.int64) for d in data_list])
+    nbr = build_sparse_conv_neighbors(
+        coords, kernel_size=kernel_size, dilation=dilation,
+        batch=batch_vec)
+
+    cap = node_cap or bucket(n, bucket_mode)
+    e_cap = edge_cap or bucket(ei.shape[1], bucket_mode)
+    pad = cap - n
+    assert pad >= 0 and e_cap >= ei.shape[1]
+
+    def padn(a, fill=0.0):
+        if pad == 0:
+            return a
+        width = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a, width, constant_values=fill)
+
+    mask = np.zeros(cap, bool)
+    mask[:n] = True
+    batch_arr = np.full(cap, -1, np.int32)
+    batch_arr[:n] = batch_vec
+    nbr_full = np.full((cap, nbr.shape[1]), -1, np.int32)
+    nbr_full[:n] = nbr
+    eif = np.zeros((2, e_cap), np.int32)
+    eif[:, :ei.shape[1]] = ei
+    em = np.zeros(e_cap, bool)
+    em[:ei.shape[1]] = True
+
+    y = None
+    ys = [d.get('y') for d in data_list]
+    if all(v is not None for v in ys):
+        ys = [np.asarray(v) for v in ys]
+        if ys[0].ndim == 1:
+            assert num_classes is not None
+            hs = []
+            for v in ys:
+                h = np.zeros((v.shape[0], num_classes + 1), np.float32)
+                valid = (v >= 0) & (v <= num_classes)
+                h[np.arange(v.shape[0])[valid], v[valid]] = 1.0
+                hs.append(h)
+            y = np.concatenate(hs)
+        else:
+            y = np.concatenate(ys).astype(np.float32)
+        y = padn(y)
+
+    return PaddedPointCloud(
+        pos=jnp.asarray(padn(pos.astype(np.float32))),
+        x=jnp.asarray(padn(x)),
+        node_mask=jnp.asarray(mask),
+        batch=jnp.asarray(batch_arr),
+        num_nodes=jnp.asarray(n, jnp.int32),
+        cnn_nbr_idx=jnp.asarray(nbr_full),
+        edge_index=jnp.asarray(eif),
+        edge_mask=jnp.asarray(em),
+        y=None if y is None else jnp.asarray(y))

@@ -216,3 +216,49 @@ def instance_partition(
         # re-compact
         _, si = np.unique(si, return_inverse=True)
     return si
+
+
+def grid_search_panoptic_partition(
+        pos, node_logits, edge_index, edge_affinity_logits, obj,
+        num_classes, node_size=None, batch=None, stuff_classes=(),
+        regularizations=(10., 20., 50.), x_weights=(5e-2, 1e-2),
+        cutoffs=(1,), criterion='pq'):
+    """Grid-search the instance-partition hyperparameters maximizing a
+    panoptic metric (reference grid_search_panoptic_partition,
+    src/utils/instance.py:1237 and the epoch-end search in
+    PanopticSegmentationModule._compute_best_partition_settings,
+    src/models/panoptic.py:952-1051).
+
+    :param obj: InstanceData of gt overlaps per level-1 node
+    :return: (best_settings dict, best_metrics dict, best_obj_index)
+    """
+    from ..metrics.panoptic import PanopticQuality3D
+
+    best = (None, None, None)
+    best_score = -np.inf
+    for reg in regularizations:
+        for xw in x_weights:
+            for cut in cutoffs:
+                obj_index = instance_partition(
+                    pos, node_logits, edge_index,
+                    edge_affinity_logits, node_size=node_size,
+                    regularization=reg, x_weight=xw, cutoff=cut,
+                    stuff_classes=stuff_classes,
+                    num_classes=num_classes, batch=batch)
+                merged = obj.merge(obj_index)
+                n_inst = int(obj_index.max()) + 1
+                pred_sem = np.zeros(n_inst, np.int64)
+                logits_np = np.asarray(node_logits)
+                for i in range(n_inst):
+                    m = obj_index == i
+                    pred_sem[i] = logits_np[m].sum(0).argmax()
+                pq = PanopticQuality3D(
+                    num_classes, stuff_classes=stuff_classes)
+                pq.update_from_instance_data(merged, pred_sem)
+                metrics = pq.compute()
+                score = metrics[criterion]
+                if score > best_score:
+                    best_score = score
+                    best = (dict(regularization=reg, x_weight=xw,
+                                 cutoff=cut), metrics, obj_index)
+    return best

@@ -6,3 +6,7 @@ from .attention import SelfAttentionBlock, dense_graph_attention
 from .transformer import TransformerBlock, DropPath
 from .stage import Stage, DownNFuseStage, UpNFuseStage, PointStage, fuse
 from .pool import pool, AttentivePool, AttentivePoolWithLearntQueries
+from .sparse import SparseConvBlock, SparseCNN
+from .position_encoding import (
+    CatInjection, AdditiveInjection, MLPInjection, FourierInjection,
+    LearnableFourierInjection, injection_factory)

@@ -1,3 +1,4 @@
 from .segment import *
 from .graph import *
 from .geometry import *
+from .components import *

@@ -133,14 +133,32 @@ class Trainer:
             self.save_checkpoint(state, 'last')
         return state
 
-    def validate(self, state, loader, split='val'):
+    def validate(self, state, loader, split='val', tta_runs=0):
+        """`tta_runs > 0` enables multi-run test-time augmentation:
+        per batch, logits from `tta_runs` augmented passes (+1 clean
+        pass) accumulate positionally before the argmax (reference
+        step_multi_run_inference, src/models/semantic.py:485)."""
+        from .metrics.semantic import confusion_matrix_from_histogram
         cm = ConfusionMatrix(self.task.num_classes)
         losses = []
+        np_rng = np.random.default_rng(self.seed)
         for nags in loader:
             batch = prepare_batch(nags, self.batch_cfg, train=False)
             out = self.task.eval_step(state, batch)
             losses.append(float(out['loss']))
-            cm.merge(np.asarray(out['confmat']))
+            if tta_runs > 0:
+                acc = np.asarray(out['logits_level1'], np.float64)
+                for _ in range(tta_runs):
+                    b = prepare_batch(nags, self.batch_cfg,
+                                      train=False, rng=np_rng, tta=True)
+                    o = self.task.eval_step(state, b)
+                    acc += np.asarray(o['logits_level1'], np.float64)
+                cm.merge(np.asarray(confusion_matrix_from_histogram(
+                    jax.numpy.asarray(acc), batch[1].y,
+                    self.task.num_classes,
+                    node_mask=batch[1].node_mask)))
+            else:
+                cm.merge(np.asarray(out['confmat']))
         m = cm.all_metrics()
         row = {'epoch': self.epoch, 'split': split,
                'loss': float(np.mean(losses)) if losses else None,

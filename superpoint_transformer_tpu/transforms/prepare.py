@@ -63,15 +63,25 @@ class BatchConfig:
     nano: bool = False
 
 
-def prepare_batch(nag_list, cfg: BatchConfig, train=True, rng=None):
+def prepare_batch(nag_list, cfg: BatchConfig, train=True, rng=None,
+                  tta=False):
     """Full batch-prep: augment+sample each NAG, build features, batch,
-    pad. Returns a PaddedNAG ready for the jitted step."""
+    pad. Returns a PaddedNAG ready for the jitted step.
+
+    `tta=True` applies the geometric augmentations WITHOUT any node /
+    edge subsampling — each TTA run sees every node, so multi-run
+    logits accumulate positionally (reference
+    step_multi_run_inference, src/models/semantic.py:485 accumulates
+    by tta_node_id; keeping all nodes makes the id map the identity).
+    """
     rng = rng or np.random.default_rng()
+    augment = train or tta
+    sample = train and not tta
     processed = []
     for nag in nag_list:
         nag = nag.clone()
         nag = T.node_size(nag, low=0 if not cfg.nano else 1)
-        if train:
+        if sample:
             nag = T.sample_sub_nodes(
                 nag, rng, low=nag.start_i_level,
                 high=nag.start_i_level + 1,
@@ -86,6 +96,7 @@ def prepare_batch(nag_list, cfg: BatchConfig, train=True, rng=None):
                     nag, rng, ratio=cfg.sample_segment_ratio,
                     by_size=cfg.sample_segment_by_size)
             nag = T.restrict_size(nag, rng, num_nodes=cfg.max_num_nodes)
+        if augment:
             nag = T.jitter_key(nag, rng, key='pos',
                                sigma=cfg.pos_jitter, trunc=cfg.voxel)
             nag = T.random_tilt_and_rotate(
@@ -100,10 +111,11 @@ def prepare_batch(nag_list, cfg: BatchConfig, train=True, rng=None):
             nag = T.on_the_fly_vertical_edge_features(
                 nag, keys=cfg.v_edge_hf,
                 use_mean_normal=cfg.use_mean_normal)
-        if train and cfg.sample_edge_n_max > 0:
+        if sample and cfg.sample_edge_n_max > 0:
             nag = T.sample_edges(nag, rng, n_max=cfg.sample_edge_n_max)
-        if train:
+        if sample:
             nag = T.restrict_size(nag, rng, num_edges=cfg.max_num_edges)
+        if train:
             nag = T.jitter_key(nag, rng, key='edge_attr',
                                sigma=cfg.h_edge_feat_jitter,
                                trunc=2 * cfg.h_edge_feat_jitter)

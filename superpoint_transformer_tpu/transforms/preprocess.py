@@ -23,6 +23,7 @@ __all__ = [
     'ground_elevation', 'adjacency_graph', 'connect_isolated',
     'add_keys_to', 'cut_pursuit_partition', 'segment_features',
     'radius_horizontal_graph', 'preprocess_cloud',
+    'quantize_coordinates', 'greedy_contour_prior_partition',
 ]
 
 _VOTING_KEYS = ('y', 'super_index', 'is_val')
@@ -631,3 +632,100 @@ def preprocess_cloud(
               'edge_attr', 'node_size', 'grid_size'):
         nag[0]._store.pop(k, None)
     return nag
+
+
+def quantize_coordinates(data, size=0.1):
+    """Integer voxel coordinates for the sparse CNN (reference
+    QuantizePointCoordinates, src/transforms/sampling.py:507). Use the
+    same `size` as the voxelization grid so coordinates are unique."""
+    data['coords'] = np.floor(
+        np.asarray(data.pos) / size).astype(np.int64)
+    return data
+
+
+def greedy_contour_prior_partition(
+        data, reg, min_size, spatial_weight=None,
+        edge_weight_mode='unit', d_0=None, edge_reduce='add',
+        k=0, w_adjacency=0.0, verbose=False):
+    """EZ-SP hierarchical partition by greedy contour-prior merging
+    (reference GreedyContourPriorPartition,
+    src/transforms/partition.py:383): per level, derive edge weights
+    from (latent) distances, optionally concatenate weighted positions
+    to the features, then greedily merge components that decrease the
+    contour-prior energy and enforce `min_size`. Returns a NAG.
+
+    edge_weight_mode: 'unit' | 'inverse_distance' | 'exp_neg_distance'
+        | 'exp_neg_latent_distance'.
+    """
+    from ..ops.components import merge_components_by_contour_prior_np
+
+    regs = list(np.atleast_1d(reg).astype(float))
+    sizes = list(np.atleast_1d(min_size).astype(int))
+    if len(regs) == 1:
+        regs = regs * len(sizes)
+    assert len(regs) == len(sizes)
+
+    d1 = data
+    if d1.get('node_size') is None:
+        d1['node_size'] = np.ones(d1.num_nodes, dtype=np.int64)
+    levels = [d1]
+    for level, (r, ms) in enumerate(zip(regs, sizes)):
+        d1 = levels[level]
+        ei = d1.edge_index.astype(np.int64)
+
+        # edge weights from the chosen distance measure
+        if edge_weight_mode == 'unit':
+            w = np.ones(ei.shape[1], np.float32)
+        else:
+            ref = d1.pos if edge_weight_mode in (
+                'inverse_distance', 'exp_neg_distance') else d1.x
+            diff = np.asarray(ref)[ei[0]] - np.asarray(ref)[ei[1]]
+            dist = np.sqrt((diff * diff).sum(1))
+            d0 = float(dist.mean()) if d_0 is None else float(d_0)
+            d0 = max(d0, 1e-12)
+            if edge_weight_mode == 'inverse_distance':
+                w = (1.0 / (1.0 + dist / d0)).astype(np.float32)
+            else:
+                w = np.exp(-dist / d0).astype(np.float32)
+
+        x = np.asarray(d1.x, np.float32)
+        if spatial_weight:
+            x = np.concatenate(
+                [x, np.asarray(d1.pos, np.float32) * spatial_weight], 1)
+
+        size_arr = np.asarray(d1.node_size, np.float32)
+        labels, n_comp, (x_m, s_m, ei_m, w_m, _) = \
+            merge_components_by_contour_prior_np(
+                x, size_arr, ei, w, r, ms, pos=np.asarray(d1.pos),
+                k=k, w_adjacency=w_adjacency, edge_reduce=edge_reduce)
+        if verbose:
+            print(f'level {level}: {d1.num_nodes} -> {n_comp}')
+        d1['super_index'] = labels
+
+        pos_m = np.zeros((n_comp, 3), np.float32)
+        np.add.at(pos_m, labels,
+                  np.asarray(d1.pos, np.float32) * size_arr[:, None])
+        pos_m /= np.maximum(s_m[:, None], 1e-12)
+
+        d2 = Data(
+            pos=pos_m,
+            x=x_m[:, :np.asarray(d1.x).shape[1]],
+            node_size=s_m.astype(np.int64),
+            sub=Cluster(labels, np.arange(d1.num_nodes), dense=True),
+            edge_index=ei_m,
+            edge_attr=w_m.astype(np.float32))
+        y = d1.get('y')
+        if y is not None:
+            assert y.ndim == 2, "expects label histograms"
+            acc = np.zeros((n_comp, y.shape[1]), dtype=np.int64)
+            np.add.at(acc, labels, y)
+            d2['y'] = acc
+        sp = d1.get('semantic_pred')
+        if sp is not None and sp.ndim == 2:
+            acc = np.zeros((n_comp, sp.shape[1]), dtype=np.int64)
+            np.add.at(acc, labels, sp)
+            d2['semantic_pred'] = acc
+        if d1.get('obj') is not None and isinstance(d1.obj, InstanceData):
+            d2['obj'] = d1.obj.merge(labels)
+        levels.append(d2)
+    return NAG(levels, start_i_level=0)
