@@ -2,4 +2,6 @@
 with the capabilities of Superpoint Transformer (SPT / SuperCluster /
 EZ-SP). See ARCHITECTURE.md.
 """
-__version__ = '0.1.0'
+__version__ = '0.2.0'
+
+from .debug import set_debug, is_debug_enabled

@@ -91,7 +91,9 @@ def _compose(config_dir, rel, overrides_defaults=None):
             raw = {}
             continue
         if isinstance(d, str):
-            sub = _compose(config_dir, osp.join(group_dir, d))
+            # '/group/name' resolves from the config root
+            rel_d = d[1:] if d.startswith('/') else osp.join(group_dir, d)
+            sub = _compose(config_dir, rel_d)
             _merge(out, sub)
             continue
         # {group: name} or {override /group: name}

@@ -33,6 +33,9 @@ class Data:
         for k, v in kwargs.items():
             if v is not None:
                 self[k] = v
+        from ..debug import is_debug_enabled, validate_data
+        if is_debug_enabled():
+            validate_data(self)
 
     # -- dict-like interface ------------------------------------------
     def __getattr__(self, key):

@@ -19,6 +19,9 @@ class NAG:
     def __init__(self, data_list, start_i_level=0):
         self._list = list(data_list)
         self.start_i_level = int(start_i_level)
+        from ..debug import is_debug_enabled, validate_nag
+        if is_debug_enabled():
+            validate_nag(self)
 
     # -- level access: ABSOLUTE level indexing -------------------------
     def __getitem__(self, i):

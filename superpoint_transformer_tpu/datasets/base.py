@@ -40,6 +40,11 @@ class BaseDataset:
     stuff_classes: List[int] = []
     val_mixed_in_train = False
     test_mixed_in_val = False
+    # tiling of huge clouds at preprocessing (reference xy_tiling /
+    # pc_tiling, src/datasets/base.py:147-167): either an (nx, ny) XY
+    # grid or `pc_tiling` recursive principal-axis halvings per cloud
+    xy_tiling: Optional[tuple] = None
+    pc_tiling: Optional[int] = None
 
     def __init__(self, root, stage='train', pre_transform_config=None,
                  point_load_keys=None, segment_load_keys=None,
@@ -86,13 +91,39 @@ class BaseDataset:
     @property
     def cloud_ids(self):
         if self.stage == 'trainval':
-            return (self.all_cloud_ids['train']
-                    + self.all_cloud_ids['val'])
-        if self.stage == 'val' and self.val_mixed_in_train:
-            return self.all_cloud_ids['val']
-        return self.all_cloud_ids[self.stage]
+            ids = (self.all_cloud_ids['train']
+                   + self.all_cloud_ids['val'])
+        elif self.stage == 'val' and self.val_mixed_in_train:
+            ids = self.all_cloud_ids['val']
+        else:
+            ids = self.all_cloud_ids[self.stage]
+        return [t for c in ids for t in self._tiles_of(c)]
+
+    def _tiles_of(self, cloud_id):
+        if self.xy_tiling is not None:
+            tx, ty = self.xy_tiling if not np.isscalar(self.xy_tiling) \
+                else (self.xy_tiling, self.xy_tiling)
+            return [f'{cloud_id}__TILE_{i}-{j}'
+                    for i in range(tx) for j in range(ty)]
+        if self.pc_tiling:
+            return [f'{cloud_id}__PCTILE_{t}'
+                    for t in range(1 << self.pc_tiling)]
+        return [cloud_id]
+
+    @staticmethod
+    def _split_tile_id(cloud_id):
+        """-> (raw_cloud_id, tile_spec or None)."""
+        if '__TILE_' in cloud_id:
+            base, tile = cloud_id.split('__TILE_')
+            i, j = tile.split('-')
+            return base, ('xy', int(i), int(j))
+        if '__PCTILE_' in cloud_id:
+            base, t = cloud_id.split('__PCTILE_')
+            return base, ('pc', int(t))
+        return cloud_id, None
 
     def _stage_of(self, cloud_id):
+        cloud_id, _ = self._split_tile_id(cloud_id)
         for s in ('train', 'val', 'test'):
             if cloud_id in self.all_cloud_ids[s]:
                 if s == 'val' and self.val_mixed_in_train:
@@ -126,9 +157,20 @@ class BaseDataset:
         if osp.exists(path):
             return
         os.makedirs(osp.dirname(path), exist_ok=True)
+        raw_id, tile = self._split_tile_id(cloud_id)
         raw_path = osp.join(self.raw_dir,
-                            self.id_to_relative_raw_path(cloud_id))
+                            self.id_to_relative_raw_path(raw_id))
         data = self.read_single_raw_cloud(raw_path)
+        if tile is not None:
+            from ..transforms.preprocess import (
+                sample_xy_tiling, sample_recursive_main_xy_axis_tiling)
+            if tile[0] == 'xy':
+                data = sample_xy_tiling(
+                    data, tiling=self.xy_tiling,
+                    tile=(tile[1], tile[2]))
+            else:
+                data = sample_recursive_main_xy_axis_tiling(
+                    data, steps=self.pc_tiling, tile=tile[1])
         if self.verbose:
             print(f'preprocessing {cloud_id}: {data.num_nodes} points')
         nag = preprocess_cloud(
@@ -176,15 +218,21 @@ class BaseDataset:
 class DataLoader:
     """Identity-collate loader yielding lists of NAGs (reference
     src/loader/dataloader.py:16 — batching is deferred to device-side
-    `NAGBatch`; here to `prepare_batch`)."""
+    `NAGBatch`; here to `prepare_batch`).
+
+    `prefetch > 0` loads upcoming batches on a background thread so
+    HDF5 reads overlap device compute (the role of the reference's
+    DataLoader worker processes; h5py releases the GIL during reads).
+    """
 
     def __init__(self, dataset, batch_size=1, shuffle=False, seed=0,
-                 drop_last=False):
+                 drop_last=False, prefetch=2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        self.prefetch = prefetch
         self.epoch = 0
 
     def __len__(self):
@@ -193,7 +241,7 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self):
+    def _batches(self):
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
@@ -204,4 +252,54 @@ class DataLoader:
             idx = order[i:i + self.batch_size]
             if self.drop_last and idx.shape[0] < self.batch_size:
                 break
-            yield [self.dataset[int(j)] for j in idx]
+            yield idx
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            for idx in self._batches():
+                yield [self.dataset[int(j)] for j in idx]
+            return
+        import queue
+        import threading
+        q = queue.Queue(maxsize=self.prefetch)
+        _END = object()
+
+        def worker():
+            try:
+                for idx in self._batches():
+                    q.put([self.dataset[int(j)] for j in idx])
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+
+
+# ----- submission hooks --------------------------------------------------
+def make_submission(dataset, cloud_id, full_res_pred, submission_dir):
+    """Write held-out-set predictions in the dataset's benchmark
+    format (reference BaseDataset.make_submission,
+    src/datasets/base.py:1115). Dispatches on a per-dataset
+    `submission_format` attribute:
+      - 'labels_txt': one int label per line (KITTI-360-style)
+      - 'labels_ply': binary PLY with a single 'class' property
+        (DALES-style)
+    """
+    os.makedirs(submission_dir, exist_ok=True)
+    fmt = getattr(dataset, 'submission_format', 'labels_txt')
+    pred = np.asarray(full_res_pred).astype(np.int32)
+    if fmt == 'labels_txt':
+        out = osp.join(submission_dir, f'{cloud_id}.txt')
+        np.savetxt(out, pred, fmt='%d')
+    elif fmt == 'labels_ply':
+        from ..utils.ply import write_ply
+        out = osp.join(submission_dir, f'{cloud_id}.ply')
+        write_ply(out, {'class': pred})
+    else:
+        raise ValueError(f'unknown submission format {fmt}')
+    return out

@@ -10,12 +10,21 @@ import numpy as np
 from ..data.data import Data
 from .base import BaseDataset
 
-__all__ = ['S3DIS', 'MiniS3DIS', 'S3DIS_CLASS_NAMES', 'read_s3dis_room',
-           'read_s3dis_area']
+__all__ = ['S3DIS', 'MiniS3DIS', 'S3DIS_CLASS_NAMES',
+           'S3DIS_NUM_CLASSES', 'S3DIS_STUFF_CLASSES',
+           'S3DIS_ROOM_TYPES', 'read_s3dis_room', 'read_s3dis_area']
 
 S3DIS_CLASS_NAMES = [
     'ceiling', 'floor', 'wall', 'beam', 'column', 'window', 'door',
     'chair', 'table', 'bookcase', 'sofa', 'board', 'clutter', 'ignored']
+
+S3DIS_NUM_CLASSES = 13
+# panoptic 'with_stuff' setting treats ceiling/floor/wall as stuff
+# (reference configs/datamodule/panoptic/s3dis_with_stuff.yaml:16)
+S3DIS_STUFF_CLASSES = [0, 1, 2]
+S3DIS_ROOM_TYPES = (
+    'office', 'conferenceRoom', 'hallway', 'auditorium', 'openspace',
+    'lobby', 'lounge', 'pantry', 'copyRoom', 'storage', 'WC')
 
 _OBJECT_LABEL = {name: i for i, name in enumerate(S3DIS_CLASS_NAMES[:13])}
 # 'stairs' appear in some rooms; the reference maps unknown classes to

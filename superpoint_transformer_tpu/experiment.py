@@ -134,11 +134,34 @@ def build_model(cfg: Config, num_graphs=8) -> SPT:
 
 def build_task(cfg: Config, total_steps=None, class_weight=None,
                num_graphs=None):
+    """Build the task matching `model.task`
+    ('semantic' | 'panoptic' | 'partition'), mirroring the reference's
+    SemanticSegmentationModule / PanopticSegmentationModule /
+    PartitionAndSemanticModule instantiation from hydra configs."""
     m = cfg.model
+    task_type = str(m.get('task', 'semantic'))
     batch_size = int(cfg.datamodule.dataloader.batch_size)
-    net = build_model(cfg, num_graphs=num_graphs or max(batch_size, 1))
+    ng = num_graphs or max(batch_size, 1)
+
+    if task_type == 'partition':
+        from .models.partition import PartitionModel, PartitionTask
+        crit = m.get('partition_criterion', {})
+        cnn = [int(m.cnn_width)] * int(m.cnn_depth) + [int(m.cnn_out)]
+        return PartitionTask(
+            net=PartitionModel(channels=tuple(cnn), num_graphs=ng),
+            num_classes=int(cfg.datamodule.num_classes),
+            affinity_temperature=float(
+                crit.get('affinity_temperature', 1.0)),
+            adaptive_sampling_ratio=crit.get(
+                'adaptive_sampling_ratio', 0.9),
+            focal_gamma=float(crit.get('gamma', 1.0)),
+            lr=float(m.optimizer.lr),
+            weight_decay=float(m.optimizer.weight_decay),
+            total_steps=total_steps or 100_000)
+
+    net = build_model(cfg, num_graphs=ng)
     lambdas = list(m.multi_stage_loss_lambdas)
-    return SemanticTask(
+    common = dict(
         net=net,
         num_classes=int(cfg.datamodule.num_classes),
         loss_type=str(m.loss_type),
@@ -150,6 +173,19 @@ def build_task(cfg: Config, total_steps=None, class_weight=None,
         total_steps=total_steps or 100_000,
         warmup_steps=int(m.scheduler.num_warmup),
         class_weight=class_weight)
+
+    if task_type == 'panoptic':
+        from .models.panoptic import PanopticTask
+        return PanopticTask(
+            edge_affinity_loss_lambda=float(
+                m.get('edge_affinity_loss_lambda', 1.0)),
+            edge_affinity_loss_weights=tuple(
+                m.get('edge_affinity_loss_weights', (1., 1., 1., 1.))),
+            stuff_classes=tuple(
+                cfg.datamodule.get('stuff_classes', ())),
+            **common)
+
+    return SemanticTask(**common)
 
 
 def build_batch_config(cfg: Config) -> BatchConfig:
@@ -210,11 +246,12 @@ def _pre_transform_config(cfg: Config):
 def build_datasets(cfg: Config, stages=('train', 'val', 'test')):
     from .datasets import (S3DIS, MiniS3DIS, DALES, MiniDALES,
                            KITTI360, MiniKITTI360, ScanNet,
-                           MiniScanNet)
+                           MiniScanNet, S3DISRoom, MiniS3DISRoom)
     dm = cfg.datamodule
     mini = bool(dm.get('mini', False))
     table = {
         's3dis': (S3DIS, MiniS3DIS),
+        's3dis_room': (S3DISRoom, MiniS3DISRoom),
         'dales': (DALES, MiniDALES),
         'kitti360': (KITTI360, MiniKITTI360),
         'scannet': (ScanNet, MiniScanNet)}
@@ -223,7 +260,7 @@ def build_datasets(cfg: Config, stages=('train', 'val', 'test')):
         pre_transform_config=_pre_transform_config(cfg),
         in_memory=bool(dm.get('in_memory', False)),
         nano=bool(dm.get('nano', False)))
-    if dm.dataset == 's3dis':
+    if dm.dataset in ('s3dis', 's3dis_room'):
         kwargs['fold'] = int(dm.get('fold', 5))
     out = {}
     for s in stages:

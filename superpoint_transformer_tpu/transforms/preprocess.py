@@ -24,6 +24,7 @@ __all__ = [
     'add_keys_to', 'cut_pursuit_partition', 'segment_features',
     'radius_horizontal_graph', 'preprocess_cloud',
     'quantize_coordinates', 'greedy_contour_prior_partition',
+    'sample_xy_tiling', 'sample_recursive_main_xy_axis_tiling',
 ]
 
 _VOTING_KEYS = ('y', 'super_index', 'is_val')
@@ -729,3 +730,41 @@ def greedy_contour_prior_partition(
             d2['obj'] = d1.obj.merge(labels)
         levels.append(d2)
     return NAG(levels, start_i_level=0)
+
+
+def sample_xy_tiling(data, tiling=(2, 2), tile=(0, 0)):
+    """Select one tile of a regular XY grid over the cloud's bounding
+    box (reference SampleXYTiling, src/transforms/sampling.py:471 —
+    used to break up huge clouds like DALES at preprocessing,
+    src/datasets/base.py:823)."""
+    pos = np.asarray(data.pos)
+    tx, ty = (tiling, tiling) if np.isscalar(tiling) else tiling
+    lo = pos[:, :2].min(0)
+    hi = pos[:, :2].max(0)
+    span = np.maximum(hi - lo, 1e-9)
+    ix = np.minimum((pos[:, 0] - lo[0]) / span[0] * tx, tx - 1e-9)
+    iy = np.minimum((pos[:, 1] - lo[1]) / span[1] * ty, ty - 1e-9)
+    keep = (ix.astype(int) == tile[0]) & (iy.astype(int) == tile[1])
+    out, _ = data.select(np.where(keep)[0])
+    return out
+
+
+def sample_recursive_main_xy_axis_tiling(data, steps=1, tile=0):
+    """Recursively split the cloud in half along its principal XY
+    direction (PCA), `steps` times; return tile number `tile` in
+    [0, 2**steps) (reference SampleRecursiveMainXYAxisTiling,
+    src/transforms/sampling.py:571 — KITTI-360-style elongated
+    clouds)."""
+    out = data
+    for s in range(steps):
+        pos = np.asarray(out.pos)[:, :2]
+        c = pos - pos.mean(0)
+        cov = c.T @ c / max(pos.shape[0] - 1, 1)
+        w, v = np.linalg.eigh(cov)
+        main = v[:, -1]
+        proj = c @ main
+        half = (tile >> (steps - 1 - s)) & 1
+        med = np.median(proj)
+        keep = proj >= med if half else proj < med
+        out, _ = out.select(np.where(keep)[0])
+    return out

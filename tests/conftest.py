@@ -2,7 +2,14 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding is
 # exercised without TPU hardware (the driver dry-runs the real path).
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# The axon TPU tunnel is DISABLED for tests: it serializes one chip
+# across processes and drops responses under heavy eager dispatch
+# (see .claude/skills/verify/SKILL.md); local CPU is reliable and the
+# persistent compilation cache keeps repeat runs fast. Unsetting
+# PALLAS_AXON_POOL_IPS is what actually disables the axon PJRT plugin
+# (sitecustomize registers it only when that var is set).
+os.environ.pop('PALLAS_AXON_POOL_IPS', None)
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
@@ -11,7 +18,7 @@ if 'xla_force_host_platform_device_count' not in flags:
 import jax  # noqa: E402
 
 # Persistent compilation cache: repeated test runs skip XLA compiles.
-_CACHE = '/tmp/jax_cache'
+_CACHE = '/tmp/jax_cache_cpu'
 os.makedirs(_CACHE, exist_ok=True)
 jax.config.update('jax_compilation_cache_dir', _CACHE)
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
