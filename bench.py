@@ -9,6 +9,12 @@ points in 10.1 s on one GPU => ~1.78M points/s end-to-end including
 partition. Here we measure the model inference path (padded batch ->
 logits) on real hardware; vs_baseline is computed against that
 1.78M pts/s reference throughput.
+
+NOTE (axon tunnel): a single device->host read permanently degrades
+the session's execution path ~150x (each later dispatch re-stages its
+operands through the relay). The benchmark therefore derives ALL
+metadata host-side and never reads a device array before or during
+the timed loop.
 """
 import json
 import os
@@ -20,6 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BASELINE_POINTS_PER_SEC = 18_000_000 / 10.1
+BATCH = 8   # replicate the demo cloud: larger batch = honest device
+            # utilization instead of per-dispatch overhead
 
 
 def main():
@@ -40,20 +48,27 @@ def main():
         from superpoint_transformer_tpu.utils.synthetic import random_nag
         nag = random_nag(seed=0, n_points=40_000, n_l1=1024, n_l2=256)
 
-    cfg = BatchConfig()
-    batch = prepare_batch([nag], cfg, train=False)
-    n_points = int(np.asarray(batch[0].num_nodes))
+    # host-side point count (NO device reads — see module docstring)
+    n_points = int(nag[0].num_nodes) * BATCH
 
-    model = SemanticSegmentationModel(net=_make_model(), num_classes=13)
-    rng = jax.random.PRNGKey(0)
-    variables = model.init(rng, batch, train=False)
+    cfg = BatchConfig()
+    batch = prepare_batch([nag.clone() for _ in range(BATCH)], cfg,
+                          train=False)
+    batch = jax.device_put(batch)
+    jax.block_until_ready(batch)
+
+    model = SemanticSegmentationModel(
+        net=_make_model(num_graphs=BATCH), num_classes=13)
+    variables = jax.jit(
+        lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(0), batch)
 
     fwd = jax.jit(lambda v, b: model.apply(v, b, train=False))
     out = fwd(variables, batch)
     jax.block_until_ready(out)
 
-    # timed runs
-    n_rep = 20
+    # timed runs (pipelined dispatch, block once at the end)
+    n_rep = 50
     t0 = time.perf_counter()
     for _ in range(n_rep):
         out = fwd(variables, batch)

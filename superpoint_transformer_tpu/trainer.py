@@ -103,16 +103,22 @@ class Trainer:
         for epoch in range(self.epoch, self.max_epochs):
             self.epoch = epoch
             cm = ConfusionMatrix(self.task.num_classes)
-            losses = []
+            # keep per-step metrics ON DEVICE; one host fetch per epoch
+            # (device->host syncs stall the dispatch pipeline — and on
+            # the axon dev tunnel permanently degrade it)
+            dev_losses, dev_cms = [], []
             t0 = time.time()
             for nags in train_loader:
                 batch = prepare_batch(
                     nags, self.batch_cfg, train=True, rng=np_rng)
                 rng, sub = jax.random.split(rng)
                 state, metrics = self.task.train_step(state, batch, sub)
-                losses.append(float(metrics['loss']))
-                cm.merge(np.asarray(metrics['confmat']))
+                dev_losses.append(metrics['loss'])
+                dev_cms.append(metrics['confmat'])
                 step += 1
+            losses = [float(x) for x in jax.device_get(dev_losses)]
+            for c in jax.device_get(dev_cms):
+                cm.merge(np.asarray(c))
             m = cm.all_metrics()
             row = {'epoch': epoch, 'split': 'train',
                    'loss': float(np.mean(losses)) if losses else None,

@@ -739,12 +739,17 @@ def sample_xy_tiling(data, tiling=(2, 2), tile=(0, 0)):
     src/datasets/base.py:823)."""
     pos = np.asarray(data.pos)
     tx, ty = (tiling, tiling) if np.isscalar(tiling) else tiling
-    lo = pos[:, :2].min(0)
-    hi = pos[:, :2].max(0)
+    pos2 = pos[:, :2].astype(np.float64)
+    lo = pos2.min(0)
+    hi = pos2.max(0)
     span = np.maximum(hi - lo, 1e-9)
-    ix = np.minimum((pos[:, 0] - lo[0]) / span[0] * tx, tx - 1e-9)
-    iy = np.minimum((pos[:, 1] - lo[1]) / span[1] * ty, ty - 1e-9)
-    keep = (ix.astype(int) == tile[0]) & (iy.astype(int) == tile[1])
+    # clip AFTER the int cast: float32/64 rounding can push the max
+    # point to exactly tx
+    ix = np.clip(((pos2[:, 0] - lo[0]) / span[0] * tx).astype(int),
+                 0, tx - 1)
+    iy = np.clip(((pos2[:, 1] - lo[1]) / span[1] * ty).astype(int),
+                 0, ty - 1)
+    keep = (ix == tile[0]) & (iy == tile[1])
     out, _ = data.select(np.where(keep)[0])
     return out
 
@@ -768,3 +773,45 @@ def sample_recursive_main_xy_axis_tiling(data, steps=1, tile=0):
         keep = proj >= med if half else proj < med
         out, _ = out.select(np.where(keep)[0])
     return out
+
+
+def pretrained_cnn_features(data, ckpt_path=None, params=None,
+                            channels=(32, 32, 32), voxel=0.1,
+                            key='x', out_key='x'):
+    """EZ-SP stage 2: run the FROZEN stage-1 sparse CNN inside
+    preprocessing so the greedy partition sees learned features
+    (reference PretrainedCNN, src/transforms/point.py:630, which loads
+    `first_stage` weights from a Lightning ckpt :705-764; here from an
+    orbax checkpoint saved by the Trainer, or direct `params`).
+
+    Appends/replaces `out_key` with the CNN embeddings of `key`.
+    """
+    import jax
+    import jax.numpy as jnp
+    from ..nn.sparse import SparseCNN
+    from ..ops.voxel_conv import build_sparse_conv_neighbors
+
+    if params is None:
+        assert ckpt_path is not None
+        import orbax.checkpoint as ocp
+        restored = ocp.StandardCheckpointer().restore(ckpt_path)
+        params = restored['params']
+        # stage-1 checkpoints hold the PartitionModel: params['cnn']
+        if 'cnn' in params:
+            params = params['cnn']
+
+    if data.get('coords') is None:
+        data = quantize_coordinates(data, size=voxel)
+    nbr = build_sparse_conv_neighbors(data.coords)
+    x = np.asarray(data[key], np.float32)
+    model = SparseCNN(channels=tuple(channels), num_graphs=1)
+
+    @jax.jit
+    def run(p, x, nbr):
+        return model.apply({'params': p}, x, nbr,
+                           batch=jnp.zeros(x.shape[0], jnp.int32),
+                           train=False)
+
+    emb = np.asarray(run(params, jnp.asarray(x), jnp.asarray(nbr)))
+    data[out_key] = emb.astype(np.float32)
+    return data

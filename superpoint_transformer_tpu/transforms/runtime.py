@@ -377,3 +377,72 @@ def restrict_size(nag, rng, level='1+', num_nodes=0, num_edges=0):
                 if 'edge_attr' in d:
                     d['edge_attr'] = d.edge_attr[keep]
     return nag
+
+
+def sample_khop_subgraphs(nag, rng, k_hop=2, n_seeds=4, i_level=1):
+    """Crop the batch to the k-hop neighborhoods of random seed
+    segments on the level-`i_level` horizontal graph (reference
+    SampleKHopSubgraphs, src/transforms/sampling.py:1003 — alternative
+    to the radius crops of SampleRadiusSubgraphs)."""
+    d = nag[i_level]
+    n = d.num_nodes
+    if n == 0 or d.get('edge_index') is None:
+        return nag
+    seeds = rng.choice(n, size=min(n_seeds, n), replace=False)
+    keep = np.zeros(n, bool)
+    keep[seeds] = True
+    ei = d.edge_index
+    for _ in range(k_hop):
+        grow = keep.copy()
+        m = keep[ei[0]]
+        grow[ei[1][m]] = True
+        m = keep[ei[1]]
+        grow[ei[0][m]] = True
+        keep = grow
+    return _select_level_cascade(nag, i_level, np.where(keep)[0])
+
+
+def _select_level_cascade(nag, i_level, idx):
+    """Select level-i nodes and cascade the selection through all
+    levels (reference NAG.select, src/data/nag.py:306)."""
+    return nag.select(i_level, idx)
+
+
+def outliers(nag, k_min=1, level=0):
+    """Drop points with fewer than `k_min` valid neighbors (reference
+    Outliers transform, src/transforms/neighbors.py:167)."""
+    d = nag[level]
+    ni = d.get('neighbor_index')
+    if ni is None:
+        return nag
+    deg = (np.asarray(ni) >= 0).sum(1)
+    keep = np.where(deg >= k_min)[0]
+    if keep.shape[0] == d.num_nodes:
+        return nag
+    return nag.select(level, keep)
+
+
+def dropout_columns(nag, rng, key='x', p=0.1, level='all'):
+    """Randomly zero whole feature columns (reference DropoutColumns,
+    src/transforms/data.py)."""
+    for i in nag._parse_levels(level):
+        d = nag[i]
+        v = d.get(key)
+        if v is None or v.ndim != 2:
+            continue
+        mask = rng.random(v.shape[1]) >= p
+        d[key] = (np.asarray(v) * mask[None, :]).astype(np.float32)
+    return nag
+
+
+def dropout_rows(nag, rng, key='x', p=0.1, level='all'):
+    """Randomly zero whole rows of a feature matrix (reference
+    DropoutRows, src/transforms/data.py)."""
+    for i in nag._parse_levels(level):
+        d = nag[i]
+        v = d.get(key)
+        if v is None or v.ndim != 2:
+            continue
+        mask = rng.random(v.shape[0]) >= p
+        d[key] = (np.asarray(v) * mask[:, None]).astype(np.float32)
+    return nag

@@ -1,0 +1,87 @@
+"""Color / position / sampling / dropout transforms + tiling."""
+import numpy as np
+import pytest
+
+from superpoint_transformer_tpu.data.data import Data
+from superpoint_transformer_tpu.transforms import color as C
+from superpoint_transformer_tpu.transforms import runtime as T
+from superpoint_transformer_tpu.transforms.preprocess import (
+    sample_xy_tiling, sample_recursive_main_xy_axis_tiling)
+from superpoint_transformer_tpu.utils.synthetic import random_nag
+
+
+def test_rgb_hsv_roundtrip_properties():
+    rgb = np.array([[1., 0., 0.], [0., 1., 0.], [0., 0., 1.],
+                    [0.5, 0.5, 0.5], [0., 0., 0.]], np.float32)
+    hsv = C.rgb_to_hsv(rgb)
+    # hues: red 0, green 1/3, blue 2/3
+    assert hsv[0, 0] == pytest.approx(0.0)
+    assert hsv[1, 0] == pytest.approx(1 / 3, abs=1e-5)
+    assert hsv[2, 0] == pytest.approx(2 / 3, abs=1e-5)
+    # gray: zero saturation; black: zero value
+    assert hsv[3, 1] == pytest.approx(0.0)
+    assert hsv[4, 2] == pytest.approx(0.0)
+
+
+def test_rgb_lab_white_gray():
+    lab = C.rgb_to_lab(np.array([[1., 1., 1.], [0., 0., 0.]],
+                                np.float32))
+    assert lab[0, 0] == pytest.approx(1.0, abs=1e-2)   # L(white)=100
+    assert lab[0, 1] == pytest.approx(0.5, abs=1e-2)   # a=b=0
+    assert lab[1, 0] == pytest.approx(0.0, abs=1e-2)   # L(black)=0
+
+
+def test_color_transforms():
+    rng = np.random.default_rng(0)
+    d = Data(pos=np.zeros((10, 3), np.float32),
+             rgb=rng.random((10, 3)).astype(np.float32))
+    d = C.add_color_features(d, keys=('hsv', 'lab'))
+    assert d.hsv.shape == (10, 3) and d.lab.shape == (10, 3)
+    d2 = C.color_drop(d.clone(), rng=np.random.default_rng(1), p=1.0)
+    assert (d2.rgb == 0).all()
+    d3 = C.color_auto_contrast(d.clone(),
+                               rng=np.random.default_rng(1),
+                               p=1.0, blend=1.0)
+    assert d3.rgb.min() == pytest.approx(0.0, abs=1e-6)
+    assert d3.rgb.max() == pytest.approx(1.0, abs=1e-6)
+    d4 = C.color_normalize(d.clone())
+    assert abs(d4.rgb.mean()) < 1e-5
+
+
+def test_positions():
+    pos = np.random.default_rng(0).random((20, 3)).astype(np.float32)
+    d = C.center_position(Data(pos=pos.copy()))
+    assert np.allclose(d.pos.mean(0), 0, atol=1e-6)
+    d = C.room_position(Data(pos=pos.copy()))
+    assert d.pos_room.min() >= 0 and d.pos_room.max() <= 1
+
+
+def test_xy_tiling_partitions_points():
+    pos = np.random.default_rng(0).random((400, 3)).astype(np.float32)
+    d = Data(pos=pos, y=np.zeros(400, np.int64))
+    total = 0
+    for i in range(2):
+        for j in range(2):
+            t = sample_xy_tiling(d.clone(), tiling=(2, 2), tile=(i, j))
+            total += t.num_nodes
+    assert total == 400
+
+
+def test_pc_tiling_partitions_points():
+    pos = np.random.default_rng(0).random((256, 3)).astype(np.float32)
+    pos[:, 0] *= 10  # elongated along x
+    d = Data(pos=pos)
+    sizes = [sample_recursive_main_xy_axis_tiling(
+        d.clone(), steps=1, tile=t).num_nodes for t in range(2)]
+    assert sum(sizes) == 256
+    assert min(sizes) > 100  # roughly balanced halves
+
+
+def test_dropout_and_khop():
+    rng = np.random.default_rng(0)
+    nag = random_nag(seed=0, n_points=400)
+    out = T.sample_khop_subgraphs(nag.clone(), rng, k_hop=1, n_seeds=2)
+    assert 0 < out[1].num_nodes <= nag[1].num_nodes
+    assert out[0].num_nodes < nag[0].num_nodes
+    out2 = T.dropout_rows(nag.clone(), rng, key='pos', p=1.0)
+    assert (out2[0].pos == 0).all()
