@@ -24,7 +24,16 @@ from flax import linen as nn
 
 from .mlp import xavier_uniform_gain
 
-__all__ = ['SelfAttentionBlock', 'dense_graph_attention']
+__all__ = ['SelfAttentionBlock', 'dense_graph_attention',
+           'set_pallas_attention']
+
+# global kill-switch for the fused kernel (A/B tests, debugging)
+_PALLAS_ENABLED = True
+
+
+def set_pallas_attention(flag):
+    global _PALLAS_ENABLED
+    _PALLAS_ENABLED = bool(flag)
 
 
 def qk_scale_from_degree(mode, qk_dim, degree):
@@ -81,6 +90,7 @@ class SelfAttentionBlock(nn.Module):
     heads_share_rpe: bool = False
     attn_drop: Optional[float] = None
     drop: Optional[float] = None
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x, nbr_idx, nbr_mask, edge_feat=None, train=True):
@@ -136,22 +146,35 @@ class SelfAttentionBlock(nn.Module):
         degree = nbr_mask.sum(axis=1)
         scale = qk_scale_from_degree(self.qk_scale, D, degree)
 
-        if q.ndim == 3:  # no q RPE: broadcast over slots inside einsum
-            q = q * scale[:, None, None]
-            compat = jnp.einsum('nhd,nkhd->nkh', q, k)
-        else:            # q got per-edge RPE: [N, K, H, D]
-            q = q * scale[:, None, None, None]
-            compat = jnp.einsum('nkhd,nkhd->nkh', q, k)
+        # Fused Pallas path (inference): one VMEM pass instead of
+        # several HBM-materialized [N, K, H] intermediates. Training
+        # keeps the XLA path — it is differentiable and supports
+        # attention dropout.
+        use_pallas = (_PALLAS_ENABLED and self.use_pallas
+                      and not train
+                      and K % 8 == 0 and N % 128 == 0
+                      and jax.default_backend() != 'cpu')
+        if use_pallas:
+            from ..ops.pallas_attention import dense_attention_pallas
+            out = dense_attention_pallas(
+                q, k, v, nbr_mask, scale).reshape(N, C)
+        else:
+            if q.ndim == 3:  # no q RPE: broadcast inside einsum
+                q = q * scale[:, None, None]
+                compat = jnp.einsum('nhd,nkhd->nkh', q, k)
+            else:            # q got per-edge RPE: [N, K, H, D]
+                q = q * scale[:, None, None, None]
+                compat = jnp.einsum('nkhd,nkhd->nkh', q, k)
 
-        neg = jnp.asarray(-1e30, compat.dtype)
-        compat = jnp.where(nbr_mask[:, :, None], compat, neg)
-        attn = jax.nn.softmax(compat, axis=1)
-        attn = attn * nbr_mask[:, :, None].astype(attn.dtype)
-        if self.attn_drop is not None and self.attn_drop > 0:
-            attn = nn.Dropout(self.attn_drop,
-                              deterministic=not train)(attn)
+            neg = jnp.asarray(-1e30, compat.dtype)
+            compat = jnp.where(nbr_mask[:, :, None], compat, neg)
+            attn = jax.nn.softmax(compat, axis=1)
+            attn = attn * nbr_mask[:, :, None].astype(attn.dtype)
+            if self.attn_drop is not None and self.attn_drop > 0:
+                attn = nn.Dropout(self.attn_drop,
+                                  deterministic=not train)(attn)
 
-        out = jnp.einsum('nkh,nkhc->nhc', attn, v).reshape(N, C)
+            out = jnp.einsum('nkh,nkhc->nhc', attn, v).reshape(N, C)
         out = nn.Dense(C, use_bias=True,
                        kernel_init=xavier_uniform_gain(),
                        name='out_proj')(out)
