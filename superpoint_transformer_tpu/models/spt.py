@@ -24,6 +24,10 @@ class SPT(nn.Module):
     # point stage
     point_mlp: Optional[Sequence[int]] = None
     point_drop: Optional[float] = None
+    # EZ-SP: sparse voxel CNN ahead of the point MLP (channels exclude
+    # the input dim; consumed when the batch carries cnn_nbr_idx)
+    point_cnn: Optional[Sequence[int]] = None
+    point_cnn_into_mlp: bool = True
     nano: bool = False
 
     # encoder
@@ -212,12 +216,16 @@ class SPT(nn.Module):
                 dim=self.point_mlp[-1], num_blocks=0,
                 in_mlp=tuple(self.point_mlp),
                 mlp_drop=self.point_drop,
+                cnn_channels=(tuple(self.point_cnn)
+                              if self.point_cnn else None),
+                cnn_into_mlp=self.point_cnn_into_mlp,
                 name='first_stage', **shared)
             x, diameter = first(
                 lvl0.x if self.use_node_hf else None,
                 self._norm_index(lvl0), pos=lvl0.pos,
                 node_size=lvl0.node_size, super_index=lvl0.super_index,
-                num_super=parent_cap, mask=lvl0.node_mask, train=train)
+                num_super=parent_cap, mask=lvl0.node_mask,
+                cnn_nbr_idx=lvl0.cnn_nbr_idx, train=train)
 
         diameters = {start + 1: diameter}
 

@@ -226,14 +226,35 @@ class UpNFuseStage(Stage):
 
 class PointStage(Stage):
     """Level-0 encoder: pos injection + MLP over raw points, no
-    attention (reference src/nn/stage.py:574). The EZ-SP sparse-CNN
-    variant plugs in via `models/` once ops/sparse lands."""
+    attention (reference src/nn/stage.py:574). With `cnn_channels`,
+    a sparse voxel CNN runs on the quantized coordinates first
+    (reference PointStage cnn_blocks path, src/nn/stage.py:696-714 /
+    EZ-SP): its embeddings are either fed into the MLP alongside pos
+    (`cnn_into_mlp=True`, reference point_mlp_on_cnn_feats) or
+    concatenated to the MLP output."""
+    cnn_channels: Optional[Sequence[int]] = None
+    cnn_norm: Optional[str] = 'graph'
+    cnn_into_mlp: bool = True
 
     @nn.compact
     def __call__(self, x, norm_index, pos=None, node_size=None,
                  super_index=None, num_super=None, mask=None,
-                 train=True):
-        return Stage.__call__(
+                 cnn_nbr_idx=None, train=True):
+        x_cnn = None
+        if self.cnn_channels and cnn_nbr_idx is not None:
+            from .sparse import SparseCNN
+            x_cnn = SparseCNN(
+                channels=tuple(self.cnn_channels), norm=self.cnn_norm,
+                num_graphs=self.num_graphs, name='cnn')(
+                x, cnn_nbr_idx, batch=norm_index, mask=mask,
+                train=train)
+            if self.cnn_into_mlp:
+                x = x_cnn
+                x_cnn = None
+        out, diameter = Stage.__call__(
             self, x, norm_index, pos=pos, node_size=node_size,
             super_index=super_index, num_super=num_super, mask=mask,
             train=train)
+        if x_cnn is not None:
+            out = jnp.concatenate([out, x_cnn], axis=1)
+        return out, diameter

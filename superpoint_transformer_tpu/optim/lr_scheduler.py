@@ -9,7 +9,9 @@ from typing import Optional
 import jax
 import optax
 
-__all__ = ['cosine_with_warmup', 'make_optimizer']
+__all__ = ['cosine_with_warmup', 'make_optimizer', 'make_schedule',
+           'step_with_warmup', 'multi_step_with_warmup',
+           'exponential_with_warmup', 'cosine_power_with_warmup']
 
 
 def cosine_with_warmup(lr, total_steps, num_warmup_steps,
@@ -75,3 +77,84 @@ def make_optimizer(lr=0.01, weight_decay=1e-4, transformer_lr_scale=0.1,
     return optax.multi_transform(
         {'base': adamw(base_sched), 'transformer': adamw(tr_sched)},
         labels)
+
+
+def _with_warmup(lr, body, num_warmup_steps, warmup_init_lr=1e-6,
+                 warmup_strategy='cos'):
+    """Wrap any post-warmup schedule `body(step_after_warmup)` with the
+    reference's _WarmupLR prefix (src/optim/lr_scheduler.py:22)."""
+    import jax.numpy as jnp
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        w = jnp.asarray(num_warmup_steps, jnp.float32)
+        if warmup_strategy == 'linear':
+            frac = jnp.clip(step / jnp.maximum(w, 1), 0, 1)
+        else:
+            frac = 0.5 * (1 - jnp.cos(
+                jnp.pi * jnp.clip(step / jnp.maximum(w, 1), 0, 1)))
+        warm = warmup_init_lr + (lr - warmup_init_lr) * frac
+        return jnp.where(step < w, warm,
+                         body(jnp.maximum(step - w, 0)))
+
+    return schedule
+
+
+def step_with_warmup(lr, step_size, gamma=0.1, num_warmup_steps=0,
+                     **kw):
+    """StepLRWithWarmup (reference src/optim/lr_scheduler.py:157)."""
+    import jax.numpy as jnp
+    return _with_warmup(
+        lr, lambda s: lr * gamma ** jnp.floor(s / step_size),
+        num_warmup_steps, **kw)
+
+
+def multi_step_with_warmup(lr, milestones, gamma=0.1,
+                           num_warmup_steps=0, **kw):
+    """MultiStepLRWithWarmup."""
+    import jax.numpy as jnp
+    ms = jnp.asarray(list(milestones), jnp.float32)
+    return _with_warmup(
+        lr, lambda s: lr * gamma ** jnp.sum(s >= ms),
+        num_warmup_steps, **kw)
+
+
+def exponential_with_warmup(lr, gamma=0.999, num_warmup_steps=0, **kw):
+    """ExponentialLRWithWarmup."""
+    return _with_warmup(lr, lambda s: lr * gamma ** s,
+                        num_warmup_steps, **kw)
+
+
+def cosine_power_with_warmup(lr, total_steps, power=2.0, eta_min=1e-6,
+                             num_warmup_steps=0, **kw):
+    """Cosine-power annealing (sharper-than-cosine decay)."""
+    import jax.numpy as jnp
+
+    def body(s):
+        t = jnp.maximum(total_steps - num_warmup_steps, 1)
+        progress = jnp.clip(s / t, 0, 1)
+        return eta_min + (lr - eta_min) * (
+            0.5 * (1 + jnp.cos(jnp.pi * progress))) ** power
+
+    return _with_warmup(lr, body, num_warmup_steps, **kw)
+
+
+def make_schedule(name, lr, total_steps, num_warmup_steps=0, **kw):
+    """Factory over the reference scheduler family
+    (src/optim/lr_scheduler.py:157-240)."""
+    if name in (None, 'cosine', 'cos'):
+        return cosine_with_warmup(lr, total_steps, num_warmup_steps,
+                                  **kw)
+    if name == 'step':
+        return step_with_warmup(lr, num_warmup_steps=num_warmup_steps,
+                                **kw)
+    if name == 'multistep':
+        return multi_step_with_warmup(
+            lr, num_warmup_steps=num_warmup_steps, **kw)
+    if name == 'exponential':
+        return exponential_with_warmup(
+            lr, num_warmup_steps=num_warmup_steps, **kw)
+    if name == 'cosine_power':
+        return cosine_power_with_warmup(
+            lr, total_steps, num_warmup_steps=num_warmup_steps, **kw)
+    raise ValueError(f'unknown scheduler {name}')

@@ -25,6 +25,7 @@ __all__ = [
     'radius_horizontal_graph', 'preprocess_cloud',
     'quantize_coordinates', 'greedy_contour_prior_partition',
     'sample_xy_tiling', 'sample_recursive_main_xy_axis_tiling',
+    'pretrained_cnn_features', 'grid_partition',
 ]
 
 _VOTING_KEYS = ('y', 'super_index', 'is_val')
@@ -173,12 +174,15 @@ def point_features(data, keys=('linearity', 'planarity', 'scattering',
 
 
 def ground_elevation(data, z_threshold=1.5, xy_grid=1.0, scale=4.0,
-                     iterations=200, margin=0.1, rng=None):
-    """Estimate the ground plane with RANSAC on low points and store
-    per-point scaled elevation (reference GroundElevation,
-    src/transforms/point.py:185 + src/utils/ground.py:100 RANSAC
-    model). Candidate points: lowest-z per xy cell, below z_threshold
-    above the global minimum."""
+                     iterations=200, margin=0.1, rng=None,
+                     model='ransac', knn_k=10):
+    """Estimate the ground and store per-point scaled elevation
+    (reference GroundElevation, src/transforms/point.py:185 +
+    src/utils/ground.py RANSAC :100 / knn :154 models). Candidate
+    ground points: lowest-z per xy cell, below z_threshold above the
+    global minimum. `model='ransac'` fits one plane; `model='knn'`
+    uses the mean height of the k nearest ground candidates in XY —
+    better for non-planar terrain (DALES-style tiles)."""
     rng = rng or np.random.default_rng(0)
     pos = data.pos
     z0 = pos[:, 2].min()
@@ -194,6 +198,23 @@ def ground_elevation(data, z_threshold=1.5, xy_grid=1.0, scale=4.0,
         cand = cand[order[first]]
     if cand.shape[0] < 3:
         data['elevation'] = np.zeros((pos.shape[0], 1), dtype=np.float32)
+        return data
+    if model == 'knn':
+        # local ground height = mean z of the k nearest candidates in XY
+        cand_xy = np.concatenate(
+            [cand[:, :2], np.zeros((cand.shape[0], 1), np.float32)], 1)
+        query_xy = np.concatenate(
+            [pos[:, :2], np.zeros((pos.shape[0], 1), np.float32)], 1)
+        kk = min(knn_k, cand.shape[0])
+        nbr, _ = radius_knn(cand_xy.astype(np.float32),
+                            query_xy.astype(np.float32),
+                            r=np.inf, k=kk, exclude_self=False)
+        valid = nbr >= 0
+        z_nb = np.where(valid, cand[np.maximum(nbr, 0), 2], 0.0)
+        ground_z = z_nb.sum(1) / np.maximum(valid.sum(1), 1)
+        data['elevation'] = (
+            (pos[:, 2] - ground_z) / scale).reshape(-1, 1).astype(
+            np.float32)
         return data
     best_inliers, best_plane = -1, None
     n = cand.shape[0]
@@ -815,3 +836,65 @@ def pretrained_cnn_features(data, ckpt_path=None, params=None,
     emb = np.asarray(run(params, jnp.asarray(x), jnp.asarray(nbr)))
     data[out_key] = emb.astype(np.float32)
     return data
+
+
+def grid_partition(data, sizes=(2.0, 10.0), mode='xy'):
+    """Hierarchical partition by regular grids of growing size
+    (reference GridPartition, src/transforms/partition.py:316 —
+    xy_partition / xyz_partition levels instead of cut-pursuit; used
+    for quick baselines and very large aerial tiles). Returns a NAG."""
+    d1 = data
+    if d1.get('node_size') is None:
+        d1['node_size'] = np.ones(d1.num_nodes, dtype=np.int64)
+    levels = [d1]
+    for size in np.atleast_1d(sizes).astype(float):
+        d1 = levels[-1]
+        pos = np.asarray(d1.pos)
+        dims = 2 if mode == 'xy' else 3
+        cells = np.floor(pos[:, :dims] / size).astype(np.int64)
+        cells -= cells.min(0)
+        span = cells.max(0) + 1
+        key = cells[:, 0]
+        for j in range(1, dims):
+            key = key * span[j] + cells[:, j]
+        _, super_index = np.unique(key, return_inverse=True)
+        n_comp = int(super_index.max()) + 1 if super_index.size else 0
+        d1['super_index'] = super_index
+
+        size_arr = np.asarray(d1.node_size, np.float64)
+        s_m = np.zeros(n_comp)
+        np.add.at(s_m, super_index, size_arr)
+        pos_m = np.zeros((n_comp, 3))
+        np.add.at(pos_m, super_index, pos * size_arr[:, None])
+        pos_m /= np.maximum(s_m[:, None], 1e-12)
+
+        d2 = Data(pos=pos_m.astype(np.float32),
+                  node_size=s_m.astype(np.int64),
+                  sub=Cluster(super_index, np.arange(d1.num_nodes),
+                              dense=True))
+        x = d1.get('x')
+        if x is not None:
+            x_m = np.zeros((n_comp, x.shape[1]))
+            np.add.at(x_m, super_index,
+                      np.asarray(x, np.float64) * size_arr[:, None])
+            d2['x'] = (x_m / np.maximum(s_m[:, None], 1e-12)).astype(
+                np.float32)
+        y = d1.get('y')
+        if y is not None and y.ndim == 2:
+            acc = np.zeros((n_comp, y.shape[1]), dtype=np.int64)
+            np.add.at(acc, super_index, y)
+            d2['y'] = acc
+        # grid-adjacent cells share an edge (via cross-cell point KNN)
+        ei = d1.get('edge_index')
+        if ei is not None and ei.size:
+            cs, ct = super_index[ei[0]], super_index[ei[1]]
+            cross = cs != ct
+            if cross.any():
+                red, w = to_trimmed_np(
+                    np.stack([cs[cross], ct[cross]]),
+                    np.ones((int(cross.sum()), 1), np.float32),
+                    reduce='sum')
+                d2['edge_index'] = red
+                d2['edge_attr'] = w.reshape(-1)
+        levels.append(d2)
+    return NAG(levels, start_i_level=0)

@@ -43,10 +43,9 @@ def main(argv=None):
 
     max_epochs = int(cfg.trainer.max_epochs)
     steps_per_epoch = max(len(train_loader), 1)
-    warmup = int(cfg.model.scheduler.num_warmup) * steps_per_epoch
 
     class_weight = None
-    if cfg.model.weighted_loss:
+    if cfg.model.get('weighted_loss'):
         class_weight = datasets['train'].get_class_weight(
             smooth=str(cfg.model.get('weighted_loss_smooth', 'sqrt')))
 
