@@ -28,7 +28,8 @@ def confusion_matrix_from_histogram(pred, y_hist, num_classes,
     if pred.ndim == 2:
         pred = jnp.argmax(pred, axis=1)
     cm = jax.ops.segment_sum(y, pred, num_segments=num_classes)
-    return cm.T.astype(jnp.int64)
+    # int32: x64 is disabled; counts stay well within range per batch
+    return cm.T.astype(jnp.int32)
 
 
 def confusion_matrix_update(pred, y, num_classes, node_mask=None):

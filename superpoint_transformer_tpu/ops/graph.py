@@ -29,7 +29,8 @@ def forward_star_np(source, num_nodes):
     return perm, pointers
 
 
-def edges_to_dense_neighbors(edge_index, num_nodes, k=None, bucket=8):
+def edges_to_dense_neighbors(edge_index, num_nodes, k=None, bucket=8,
+                             drop_excess=True):
     """Convert an edge list [2, E] (source=querying node) to dense
     padded neighbor arrays.
 
@@ -51,7 +52,19 @@ def edges_to_dense_neighbors(edge_index, num_nodes, k=None, bucket=8):
     if k is None:
         k = max(_round_up(max_deg, bucket), bucket)
     elif max_deg > k:
-        raise ValueError(f"max degree {max_deg} exceeds requested K={k}")
+        if not drop_excess:
+            raise ValueError(
+                f"max degree {max_deg} exceeds requested K={k}")
+        # keep each node's first k edges (construction order = the
+        # radius-graph's score order); a stable-shape alternative to
+        # the reference's SampleEdges cap (sampling.py:1234)
+        rank_all = np.arange(E, dtype=np.int64) - pointers[source[perm]]
+        keep = perm[rank_all < k]
+        keep.sort()
+        nbr_idx, nbr_mask, edge_id = edges_to_dense_neighbors(
+            edge_index[:, keep], num_nodes, k=k, bucket=bucket)
+        # edge_id must address the ORIGINAL edge rows (edge features)
+        return nbr_idx, nbr_mask, keep[edge_id].astype(np.int32)
 
     nbr_idx = np.zeros((num_nodes, k), dtype=np.int32)
     nbr_mask = np.zeros((num_nodes, k), dtype=bool)

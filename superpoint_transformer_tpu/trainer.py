@@ -45,6 +45,9 @@ class CSVLogger:
 class Trainer:
     task: 'SemanticTask'
     batch_cfg: 'BatchConfig'
+    # eval uses whole tiles (no crops) so it needs its own (unpinned)
+    # capacities; defaults to batch_cfg
+    eval_batch_cfg: Optional['BatchConfig'] = None
     output_dir: str = 'outputs'
     max_epochs: int = 100
     check_val_every_n_epoch: int = 10
@@ -54,6 +57,8 @@ class Trainer:
     k_caps: Optional[dict] = None
 
     def __post_init__(self):
+        if self.eval_batch_cfg is None:
+            self.eval_batch_cfg = self.batch_cfg
         os.makedirs(self.output_dir, exist_ok=True)
         self.logger = CSVLogger(osp.join(self.output_dir, 'metrics.csv'))
         self.best_miou = -1.0
@@ -149,13 +154,14 @@ class Trainer:
         losses = []
         np_rng = np.random.default_rng(self.seed)
         for nags in loader:
-            batch = prepare_batch(nags, self.batch_cfg, train=False)
+            batch = prepare_batch(nags, self.eval_batch_cfg,
+                                  train=False)
             out = self.task.eval_step(state, batch)
             losses.append(float(out['loss']))
             if tta_runs > 0:
                 acc = np.asarray(out['logits_level1'], np.float64)
                 for _ in range(tta_runs):
-                    b = prepare_batch(nags, self.batch_cfg,
+                    b = prepare_batch(nags, self.eval_batch_cfg,
                                       train=False, rng=np_rng, tta=True)
                     o = self.task.eval_step(state, b)
                     acc += np.asarray(o['logits_level1'], np.float64)

@@ -12,7 +12,7 @@ from ..data.nag import NAG
 from ..data.pad import batch_nags, pad_nag, PaddedNAG
 from . import runtime as T
 
-__all__ = ['BatchConfig', 'prepare_batch']
+__all__ = ['BatchConfig', 'prepare_batch', 'discover_caps']
 
 
 @dataclass
@@ -140,3 +140,31 @@ def prepare_batch(nag_list, cfg: BatchConfig, train=True, rng=None,
     return pad_nag(big, num_classes=cfg.num_classes,
                    node_caps=cfg.node_caps, k_caps=cfg.k_caps,
                    bucket_mode=cfg.bucket_mode)
+
+
+def discover_caps(nag_lists, cfg: BatchConfig, train=True, rng=None,
+                  headroom_levels=1):
+    """Probe a few batches and fix per-level node and K capacities so
+    every training step reuses ONE compiled program (stochastic crops
+    otherwise bucket to different shapes and each new signature pays a
+    multi-second XLA compile; see SURVEY §7 'bucketed static shapes').
+
+    :param nag_lists: iterable of batch inputs (lists of NAGs)
+    :param headroom_levels: extra pow2 doublings on node caps
+    :return: a new BatchConfig with node_caps / k_caps pinned
+    """
+    import dataclasses
+    rng = rng or np.random.default_rng(0)
+    node_caps, k_caps = {}, {}
+    for nags in nag_lists:
+        b = prepare_batch(list(nags), cfg, train=train, rng=rng)
+        for i, lvl in enumerate(b.levels):
+            li = b.start_i_level + i
+            node_caps[li] = max(node_caps.get(li, 0), lvl.capacity)
+            if lvl.nbr_idx is not None:
+                k_caps[li] = max(k_caps.get(li, 0),
+                                 lvl.nbr_idx.shape[1])
+    for li in node_caps:
+        node_caps[li] <<= headroom_levels
+    return dataclasses.replace(
+        cfg, node_caps=node_caps, k_caps=k_caps or None)

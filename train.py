@@ -52,19 +52,25 @@ def main(argv=None):
     task = build_task(cfg, total_steps=max_epochs * steps_per_epoch,
                       class_weight=class_weight)
 
-    # init on a first batch
-    nags = next(iter(DataLoader(datasets['train'],
-                                batch_size=batch_size)))
+    # pin static capacities from a few probe batches so all epochs
+    # reuse one compiled program, then init on a first batch
     from superpoint_transformer_tpu.transforms.prepare import (
-        prepare_batch)
-    example = prepare_batch(nags, batch_cfg, train=False)
+        prepare_batch, discover_caps)
+    probe = DataLoader(datasets['train'], batch_size=batch_size,
+                       shuffle=True, seed=seed)
+    probe_batches = [nags for _, nags in zip(range(4), probe)]
+    eval_batch_cfg = batch_cfg  # free bucketing for whole tiles
+    batch_cfg = discover_caps(probe_batches, batch_cfg,
+                              rng=np.random.default_rng(seed))
+    example = prepare_batch(probe_batches[0], batch_cfg, train=True,
+                            rng=np.random.default_rng(seed))
     state = task.init_state(jax.random.PRNGKey(seed), example)
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(state.params))
     print(f'model parameters: {n_params:,}')
 
     trainer = Trainer(
-        task=task, batch_cfg=batch_cfg,
+        task=task, batch_cfg=batch_cfg, eval_batch_cfg=eval_batch_cfg,
         output_dir=str(cfg.get('output_dir', 'outputs')),
         max_epochs=max_epochs,
         check_val_every_n_epoch=int(
