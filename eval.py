@@ -41,7 +41,11 @@ def main(argv=None):
     ckpt = cfg.get('ckpt_path')
     if ckpt and ckpt != '???':
         state = trainer.load_checkpoint(state, ckpt)
-    metrics = trainer.test(state, loader)
+    # test-time augmentation: eval.py tta_runs=8 (reference
+    # step_multi_run_inference, src/models/semantic.py:485)
+    tta_runs = int(cfg.get('tta_runs', 0))
+    metrics = trainer.validate(state, loader, split='test',
+                               tta_runs=tta_runs)
     return metrics
 
 
