@@ -89,6 +89,9 @@ class SPT(nn.Module):
     norm_mode: str = 'graph'
     output_stage_wise: bool = True
     num_graphs: int = 8
+    # graph-partition parallelism (parallel/shard_nag.py): mesh axis
+    # over which node shards cooperate
+    shard_axis: Optional[str] = None
 
     @property
     def num_down_stages(self):
@@ -146,7 +149,8 @@ class SPT(nn.Module):
                 name = 'node_mlp_shared' if self.share_hf_mlps \
                     else f'node_mlp_{i_stage}'
                 x_hf = MLP(tuple(self.node_mlp), norm=self.mlp_norm,
-                           num_graphs=self.num_graphs, name=name)(
+                           num_graphs=self.num_graphs,
+                           shard_axis=self.shard_axis, name=name)(
                     x_hf, batch=ni, mask=lvl.node_mask, train=train)
             xs[i_level] = x_hf
 
@@ -159,7 +163,8 @@ class SPT(nn.Module):
                 eb = jnp.repeat(ni, K)
                 em = lvl.nbr_mask.reshape(N * K)
                 flat = MLP(tuple(self.h_edge_mlp), norm=self.mlp_norm,
-                           num_graphs=self.num_graphs, name=name)(
+                           num_graphs=self.num_graphs,
+                           shard_axis=self.shard_axis, name=name)(
                     flat, batch=eb, mask=em, train=train)
                 ef = flat.reshape(N, K, -1) * em.reshape(N, K, 1)
             efs[i_level] = ef
@@ -170,7 +175,8 @@ class SPT(nn.Module):
                 name = 'v_edge_mlp_shared' if self.share_hf_mlps \
                     else f'v_edge_mlp_{i_stage}'
                 vef = MLP(tuple(self.v_edge_mlp), norm=self.mlp_norm,
-                          num_graphs=self.num_graphs, name=name)(
+                          num_graphs=self.num_graphs,
+                          shard_axis=self.shard_axis, name=name)(
                     vef, batch=self._norm_index(child),
                     mask=child.node_mask, train=train)
             vefs[i_level] = vef
@@ -187,7 +193,7 @@ class SPT(nn.Module):
             heads_share_rpe=self.heads_share_rpe,
             use_pos=self.use_pos, use_diameter=self.use_diameter,
             use_diameter_parent=self.use_diameter_parent,
-            num_graphs=self.num_graphs)
+            num_graphs=self.num_graphs, shard_axis=self.shard_axis)
 
         # ---- first stage ----------------------------------------------
         lvl0 = nag[start]

@@ -91,6 +91,10 @@ class SelfAttentionBlock(nn.Module):
     attn_drop: Optional[float] = None
     drop: Optional[float] = None
     use_pallas: bool = True
+    # graph-partition parallelism: all_gather the k/v node tables over
+    # this mesh axis; nbr_idx then holds GLOBAL slots
+    # (device * capacity + local slot) — see parallel/shard_nag.py
+    shard_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, nbr_idx, nbr_mask, edge_feat=None, train=True):
@@ -110,6 +114,15 @@ class SelfAttentionBlock(nn.Module):
         q = qkv[:, :DH].reshape(N, H, D)
         k_nodes = qkv[:, DH:2 * DH]
         v_nodes = qkv[:, 2 * DH:]
+
+        if self.shard_axis is not None:
+            # cross-shard neighbors: assemble the GLOBAL k/v tables
+            # (one all_gather per block — rides ICI; superpoint levels
+            # are small so this is cheap relative to attention math)
+            k_nodes = jax.lax.all_gather(
+                k_nodes, self.shard_axis).reshape(-1, DH)
+            v_nodes = jax.lax.all_gather(
+                v_nodes, self.shard_axis).reshape(-1, C)
 
         # Gather keys/values of the neighbors: [N, K, ...]
         k = k_nodes[nbr_idx].reshape(N, K, H, D)

@@ -40,6 +40,7 @@ class MLP(nn.Module):
     last_norm: bool = True
     drop: Optional[float] = None
     num_graphs: int = 64
+    shard_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, batch=None, mask=None, train=True):
@@ -65,11 +66,14 @@ class MLP(nn.Module):
     def _make_norm(self, dim, name):
         from .norm import LayerNorm, InstanceNorm, GroupNorm
         if self.norm == 'graph':
-            return GraphNorm(dim, num_graphs=self.num_graphs, name=name)
+            return GraphNorm(dim, num_graphs=self.num_graphs,
+                             shard_axis=self.shard_axis, name=name)
         if self.norm == 'layer':
-            return LayerNorm(dim, num_graphs=self.num_graphs, name=name)
+            return LayerNorm(dim, num_graphs=self.num_graphs,
+                             shard_axis=self.shard_axis, name=name)
         if self.norm == 'instance':
-            return InstanceNorm(dim, num_graphs=self.num_graphs, name=name)
+            return InstanceNorm(dim, num_graphs=self.num_graphs,
+                                shard_axis=self.shard_axis, name=name)
         if self.norm == 'group':
             return GroupNorm(dim, num_graphs=self.num_graphs, name=name)
         raise ValueError(f'Unknown norm {self.norm}')

@@ -27,6 +27,16 @@ def _masked(x, mask):
     return x * mask[:, None].astype(x.dtype), mask
 
 
+
+def _psum(x, axis_name):
+    """Cross-shard reduction for norm statistics (no-op when the
+    module runs unsharded)."""
+    if axis_name is None:
+        return x
+    import jax
+    return jax.lax.psum(x, axis_name)
+
+
 class GraphNorm(nn.Module):
     """PyG GraphNorm: per-graph mean (scaled by a learnable alpha) and
     variance normalization + affine (reference uses this as the MLP /
@@ -34,6 +44,7 @@ class GraphNorm(nn.Module):
     num_features: int
     num_graphs: int = 64  # static upper bound on graphs per batch
     eps: float = 1e-5
+    shard_axis: str = None   # psum stats across this mesh axis
 
     @nn.compact
     def __call__(self, x, batch=None, mask=None):
@@ -44,9 +55,17 @@ class GraphNorm(nn.Module):
         if batch is None:
             batch = jnp.zeros(x.shape[0], dtype=jnp.int32)
         g = self.num_graphs
-        mean = segment_mean(x, batch, g, mask=mask)
+
+        def gmean(v):
+            vm, _ = _masked(v, mask)
+            s = _psum(segment_sum(vm, batch, g), self.shard_axis)
+            n = _psum(segment_count(batch, g, mask=mask),
+                      self.shard_axis)
+            return s / jnp.maximum(n, 1).astype(v.dtype)[:, None]
+
+        mean = gmean(x)
         out = x - alpha * mean[batch]
-        var = segment_mean(out * out, batch, g, mask=mask)
+        var = gmean(out * out)
         out = out / jnp.sqrt(var[batch] + self.eps)
         return out * weight + bias
 
@@ -58,6 +77,7 @@ class LayerNorm(nn.Module):
     num_graphs: int = 64
     eps: float = 1e-5
     mode: str = 'graph'
+    shard_axis: str = None
 
     @nn.compact
     def __call__(self, x, batch=None, mask=None):
@@ -72,13 +92,16 @@ class LayerNorm(nn.Module):
         if batch is None:
             batch = jnp.zeros(x.shape[0], dtype=jnp.int32)
         g = self.num_graphs
-        n = segment_count(batch, g, mask=mask).astype(x.dtype) * C
+        n = _psum(segment_count(batch, g, mask=mask),
+                  self.shard_axis).astype(x.dtype) * C
         n = jnp.maximum(n, 1)
         xm, _ = _masked(x, mask)
-        mean = segment_sum(xm, batch, g).sum(-1) / n
+        mean = _psum(segment_sum(xm, batch, g),
+                     self.shard_axis).sum(-1) / n
         out = x - mean[batch][:, None]
         outm, _ = _masked(out, mask)
-        var = segment_sum(outm * outm, batch, g).sum(-1) / n
+        var = _psum(segment_sum(outm * outm, batch, g),
+                    self.shard_axis).sum(-1) / n
         out = out / jnp.sqrt(var[batch][:, None] + self.eps)
         return out * weight + bias
 
@@ -88,6 +111,7 @@ class InstanceNorm(nn.Module):
     num_features: int
     num_graphs: int = 64
     eps: float = 1e-5
+    shard_axis: str = None
 
     @nn.compact
     def __call__(self, x, batch=None, mask=None):
@@ -97,9 +121,17 @@ class InstanceNorm(nn.Module):
         if batch is None:
             batch = jnp.zeros(x.shape[0], dtype=jnp.int32)
         g = self.num_graphs
-        mean = segment_mean(x, batch, g, mask=mask)
+
+        def gmean(v):
+            vm, _ = _masked(v, mask)
+            s = _psum(segment_sum(vm, batch, g), self.shard_axis)
+            n = _psum(segment_count(batch, g, mask=mask),
+                      self.shard_axis)
+            return s / jnp.maximum(n, 1).astype(v.dtype)[:, None]
+
+        mean = gmean(x)
         out = x - mean[batch]
-        var = segment_mean(out * out, batch, g, mask=mask)
+        var = gmean(out * out)
         out = out / jnp.sqrt(var[batch] + self.eps)
         return out * weight + bias
 
@@ -174,7 +206,7 @@ class BatchNorm(nn.Module):
 
 def unit_sphere_norm(pos, super_index, num_super, node_size=None,
                      mask=None, log_diameter=False,
-                     indices_are_sorted=True):
+                     indices_are_sorted=True, shard_axis=None):
     """Normalize same-segment positions into a unit sphere of diameter
     1; returns (normalized pos [N, 3], per-SEGMENT diameter
     [num_super, 1]) (reference UnitSphereNorm, src/nn/norm.py:53).
@@ -194,21 +226,35 @@ def unit_sphere_norm(pos, super_index, num_super, node_size=None,
                      indices_are_sorted=indices_are_sorted)
     mx = segment_max(p_for_max, super_index, num_super,
                      indices_are_sorted=indices_are_sorted)
+    if shard_axis is not None:
+        # graph-level segments span node shards (parallel/shard_nag.py)
+        import jax
+        mn = jax.lax.pmin(mn, shard_axis)
+        mx = jax.lax.pmax(mx, shard_axis)
     # empty segments produce +/-inf fillers; zero them
     valid_seg = mx[:, 0] > -big * 0.5
     diameter = jnp.where(valid_seg, (mx - mn).max(axis=1), 0.0)
 
     if node_size is None:
-        center = segment_mean(pos, super_index, num_super,
-                              indices_are_sorted=indices_are_sorted,
-                              mask=mask)
+        pm, _ = _masked(pos, mask)
+        ssum = segment_sum(pm, super_index, num_super,
+                           indices_are_sorted=indices_are_sorted)
+        cnt = segment_count(super_index, num_super, mask=mask,
+                            indices_are_sorted=indices_are_sorted)
+        ssum = _psum(ssum, shard_axis)
+        cnt = _psum(cnt, shard_axis)
+        center = ssum / jnp.maximum(cnt, 1).astype(pos.dtype)[:, None]
     else:
         w = node_size
         if mask is not None:
             w = w * mask.astype(w.dtype)
-        center = segment_mean_weighted(
-            pos, super_index, w, num_super,
-            indices_are_sorted=indices_are_sorted)
+        wsum = segment_sum(pos * w[:, None], super_index, num_super,
+                           indices_are_sorted=indices_are_sorted)
+        wtot = segment_sum(w, super_index, num_super,
+                           indices_are_sorted=indices_are_sorted)
+        wsum = _psum(wsum, shard_axis)
+        wtot = _psum(wtot, shard_axis)
+        center = wsum / jnp.maximum(wtot, 1e-12)[:, None]
     si = jnp.clip(super_index, 0, num_super - 1)
     out = (pos - center[si]) / (diameter[si][:, None] + 1e-2)
     d = diameter[:, None]

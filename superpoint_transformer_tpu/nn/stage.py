@@ -85,6 +85,7 @@ class Stage(nn.Module):
     blocks_share_rpe: bool = False
     heads_share_rpe: bool = False
     num_graphs: int = 64
+    shard_axis: Optional[str] = None
 
     @property
     def out_dim(self):
@@ -106,13 +107,18 @@ class Stage(nn.Module):
         if pos is not None:
             if super_index is None:
                 # innermost level: per-graph normalization (see module
-                # docstring); norm_index is the graph id
+                # docstring); norm_index is the graph id. Graph-level
+                # segments span node shards -> cross-shard stats.
                 si = jnp.clip(norm_index, 0, None).astype(jnp.int32)
                 ns = self.num_graphs
+                usn_axis = self.shard_axis
             else:
+                # parent segments are device-local by construction
                 si, ns = super_index, num_super
+                usn_axis = None
             normalized_pos, diameter_parent = unit_sphere_norm(
-                pos, si, ns, node_size=node_size, mask=mask)
+                pos, si, ns, node_size=node_size, mask=mask,
+                shard_axis=usn_axis)
             if self.use_pos:
                 x = _cat(normalized_pos, x)
 
@@ -135,7 +141,8 @@ class Stage(nn.Module):
         if self.in_mlp is not None:
             x = MLP(self.in_mlp, activation=self.mlp_activation,
                     norm=self.mlp_norm, drop=self.mlp_drop,
-                    num_graphs=self.num_graphs, name='in_mlp')(
+                    num_graphs=self.num_graphs,
+                    shard_axis=self.shard_axis, name='in_mlp')(
                 x, batch=norm_index, mask=mask, train=train)
 
         for b in range(self.num_blocks):
@@ -153,6 +160,7 @@ class Stage(nn.Module):
                 q_on_minus_rpe=self.q_on_minus_rpe,
                 heads_share_rpe=self.heads_share_rpe,
                 num_graphs=self.num_graphs,
+                shard_axis=self.shard_axis,
                 name=f'block_{b}')(
                 x, norm_index, nbr_idx=nbr_idx, nbr_mask=nbr_mask,
                 edge_feat=edge_feat, mask=mask, train=train)
@@ -160,7 +168,8 @@ class Stage(nn.Module):
         if self.out_mlp is not None:
             x = MLP(self.out_mlp, activation=self.mlp_activation,
                     norm=self.mlp_norm, drop=self.mlp_drop,
-                    num_graphs=self.num_graphs, name='out_mlp')(
+                    num_graphs=self.num_graphs,
+                    shard_axis=self.shard_axis, name='out_mlp')(
                 x, batch=norm_index, mask=mask, train=train)
 
         if mask is not None and x is not None:

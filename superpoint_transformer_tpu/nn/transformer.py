@@ -56,12 +56,14 @@ class TransformerBlock(nn.Module):
     q_on_minus_rpe: bool = False
     heads_share_rpe: bool = False
     num_graphs: int = 64
+    shard_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, norm_index, nbr_idx=None, nbr_mask=None,
                  edge_feat=None, mask=None, train=True):
         def make_norm(name):
             return _NORMS[self.norm](self.dim, num_graphs=self.num_graphs,
+                                     shard_axis=self.shard_axis,
                                      name=name)
 
         drop_path = (DropPath(self.drop_path)
@@ -82,6 +84,7 @@ class TransformerBlock(nn.Module):
                 q_on_minus_rpe=self.q_on_minus_rpe,
                 heads_share_rpe=self.heads_share_rpe,
                 attn_drop=self.attn_drop, drop=self.residual_drop,
+                shard_axis=self.shard_axis,
                 name='sa')
             if self.pre_norm:
                 h = make_norm('sa_norm')(x, batch=norm_index, mask=mask)

@@ -18,7 +18,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 __all__ = ['make_data_mesh', 'stack_batches', 'shard_batch',
-           'make_dp_train_step']
+           'make_dp_train_step', 'make_shard_mesh',
+           'make_sharded_forward']
 
 
 def make_data_mesh(devices=None):
@@ -82,3 +83,33 @@ def make_dp_train_step(task, mesh):
         return sharded(state, stacked_batch, rng)
 
     return step
+
+
+def make_shard_mesh(devices=None):
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), axis_names=('shard',))
+
+
+def make_sharded_forward(model, mesh, train=False):
+    """Graph-partition-parallel forward: ONE giant cloud's nodes are
+    split across the 'shard' mesh axis (parallel/shard_nag.py); each
+    device runs the model on its node shard, with cross-shard neighbor
+    attention via per-block k/v all_gathers and psum'd norm statistics
+    (the model must be built with shard_axis='shard').
+
+    This is the framework's context-parallel analogue for tiles too
+    large for one chip (SURVEY §2.11 — free design space vs the
+    reference, whose answer is XY tiling).
+    """
+
+    def per_device(variables, batch):
+        local = jax.tree_util.tree_map(
+            lambda x: x[0] if jnp.ndim(x) > 0 else x, batch)
+        return model.apply(variables, local, train=train)
+
+    sharded = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P('shard')),
+        out_specs=P('shard'),
+        check_rep=False)
+    return jax.jit(sharded)

@@ -1,0 +1,104 @@
+"""Graph-partition-parallel forward: node shards across a device mesh
+must reproduce the single-device forward (cross-shard attention via
+k/v all_gather, psum'd norm statistics). Runs in a subprocess with a
+forced 8-device CPU platform (the axon sitecustomize pins the main
+process to the single TPU)."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+_SCRIPT = r'''
+import numpy as np, jax, jax.numpy as jnp
+from superpoint_transformer_tpu.utils.synthetic import random_nag
+from superpoint_transformer_tpu.transforms import BatchConfig, prepare_batch
+from superpoint_transformer_tpu.parallel import (
+    make_shard_mesh, make_sharded_forward, shard_padded_nag)
+from superpoint_transformer_tpu.models.spt import SPT
+import dataclasses
+
+def build(shard_axis=None):
+    return SPT(point_mlp=(12, 16, 32), down_dim=(16, 16),
+               down_in_mlp=((4 + 32, 16), (4 + 16, 16)),
+               down_num_heads=2, down_num_blocks=1, up_dim=(16,),
+               up_in_mlp=((4 + 16 + 16, 16),), h_edge_mlp=(18, 8),
+               in_rpe_dim=8, qk_dim=2, no_ffn=True, k_rpe=True,
+               q_rpe=True, v_rpe=True, use_diameter_parent=True,
+               output_stage_wise=True, num_graphs=1,
+               shard_axis=shard_axis)
+
+nag = random_nag(seed=0, n_points=1200, n_l1=96, n_l2=24)
+cfg = BatchConfig(sample_graph_r=-1, sample_segment_ratio=0)
+batch1 = prepare_batch([nag.clone()], cfg, train=False)
+
+# reference single-device forward
+m1 = build(None)
+v1 = jax.jit(lambda r, b: m1.init(r, b, train=False))(
+    jax.random.PRNGKey(0), batch1)
+ref = jax.jit(lambda v, b: m1.apply(v, b, train=False))(v1, batch1)
+
+# sharded forward with the SAME parameters
+from superpoint_transformer_tpu.transforms import runtime as T
+nag2 = nag.clone()
+nag2 = T.node_size(nag2, low=0)
+nag2 = T.on_the_fly_horizontal_edge_features(nag2)
+nag2 = T.add_self_loops(nag2)
+nag2.add_keys_to(0, list(cfg.point_hf), to='x', delete_after=False)
+for i in nag2.levels:
+    nag2[i]['batch'] = np.zeros(nag2[i].num_nodes, dtype=np.int64)
+n_dev = 4
+shards = shard_padded_nag(nag2, n_dev)
+mesh = make_shard_mesh(jax.devices()[:n_dev])
+ms = build('shard')
+fwd = make_sharded_forward(ms, mesh, train=False)
+outs = fwd(v1, shards)
+
+# stitch shard outputs back to the global node order and compare the
+# level-1 features
+a_lvl1, local_lvl1 = None, None
+# recompute assignment like shard_padded_nag (top-down)
+assign = {}
+top = nag2.end_i_level
+n_top = nag2[top].num_nodes
+bounds = np.linspace(0, n_top, n_dev + 1).astype(np.int64)
+a = np.zeros(n_top, np.int32)
+for d in range(n_dev):
+    a[bounds[d]:bounds[d + 1]] = d
+assign[top] = a
+for i in range(top - 1, -1, -1):
+    assign[i] = assign[i + 1][nag2[i].super_index]
+a1 = assign[1]
+order = np.argsort(a1, kind='stable')
+starts = np.zeros(n_dev + 1, np.int64)
+np.cumsum(np.bincount(a1, minlength=n_dev), out=starts[1:])
+local = np.empty(a1.shape[0], np.int64)
+local[order] = np.arange(a1.shape[0]) - starts[a1[order]]
+
+out_l1 = np.asarray(outs[0])            # [n_dev * cap, C] concat
+cap1 = out_l1.shape[0] // n_dev
+got = out_l1[a1.astype(np.int64) * cap1 + local]   # global order
+
+# reference (batch1 level-1 order == nag2 level-1 order after sort)
+ref_l1 = np.asarray(ref[0])[:a1.shape[0]]
+err = np.abs(got - ref_l1).max() / max(np.abs(ref_l1).max(), 1e-6)
+print('rel err:', err)
+assert err < 2e-2, err
+print('SHARDED OK')
+'''
+
+
+@pytest.mark.slow
+def test_sharded_forward_matches_single_device():
+    env = dict(os.environ)
+    env.pop('PALLAS_AXON_POOL_IPS', None)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['XLA_FLAGS'] = (env.get('XLA_FLAGS', '')
+                        + ' --xla_force_host_platform_device_count=8')
+    out = subprocess.run(
+        [sys.executable, '-c', _SCRIPT],
+        env=env, cwd=os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))),
+        capture_output=True, text=True, timeout=1200)
+    assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-3000:])
+    assert 'SHARDED OK' in out.stdout
