@@ -3,10 +3,15 @@
 // src/utils/neighbors.py:24-48; fresh CPU design for the host
 // preprocessing path — the device path uses XLA sort-based KNN).
 //
-// Points are binned into cells of side `r`; each query scans its 27
-// neighboring cells and keeps the k nearest within radius r. Outputs
-// -1 indices (and +inf distances) for missing neighbors, matching the
-// reference's convention.
+// Cell size adapts to the point density (targets ~2k points per
+// cell) instead of using the search radius: with dense clouds and a
+// large radius an r-sized 27-cell scan visits millions of candidates
+// per query. The search expands ring by ring (Chebyshev shells) and
+// stops when the k-th best distance is closer than the nearest
+// unvisited shell — classic best-first grid KNN.
+//
+// Outputs -1 indices (and +inf distances) for missing neighbors,
+// matching the reference's convention.
 
 #include <cstdint>
 #include <cmath>
@@ -28,6 +33,27 @@ struct CellHash {
                         ^ k.z * 83492791LL);
     }
 };
+
+struct Heap {
+    // max-heap of (d2, idx) capped at k
+    std::vector<std::pair<float, int32_t>> v;
+    size_t k;
+    explicit Heap(size_t k_) : k(k_) { v.reserve(k_ + 1); }
+    float worst() const {
+        return v.size() < k ? std::numeric_limits<float>::infinity()
+                            : v.front().first;
+    }
+    void push(float d2, int32_t i) {
+        if (v.size() < k) {
+            v.emplace_back(d2, i);
+            std::push_heap(v.begin(), v.end());
+        } else if (d2 < v.front().first) {
+            std::pop_heap(v.begin(), v.end());
+            v.back() = {d2, i};
+            std::push_heap(v.begin(), v.end());
+        }
+    }
+};
 }  // namespace
 
 extern "C" void spt_radius_knn(
@@ -36,45 +62,93 @@ extern "C" void spt_radius_knn(
     double r, int64_t k, int64_t exclude_self,
     int32_t* nbr_out /*[n_query*k]*/, float* dist_out /*[n_query*k]*/) {
     const float INF = std::numeric_limits<float>::infinity();
+    if (n_search == 0 || k == 0) {
+        for (int64_t j = 0; j < n_query * k; ++j) {
+            nbr_out[j] = -1;
+            dist_out[j] = INF;
+        }
+        return;
+    }
+
+    // ---- adaptive cell size: ~2k points per cell ----------------------
+    float lo[3] = {INF, INF, INF}, hi[3] = {-INF, -INF, -INF};
+    for (int64_t i = 0; i < n_search; ++i)
+        for (int d = 0; d < 3; ++d) {
+            const float v = xyz_search[i * 3 + d];
+            lo[d] = std::min(lo[d], v);
+            hi[d] = std::max(hi[d], v);
+        }
+    double vol = 1.0;
+    for (int d = 0; d < 3; ++d)
+        vol *= std::max((double)(hi[d] - lo[d]), 1e-6);
+    double cell = std::cbrt(vol * 2.0 * (double)std::max<int64_t>(k, 8)
+                            / (double)n_search);
+    if (std::isfinite(r) && r > 0)
+        cell = std::min(cell, r);           // never exceed the radius
+    cell = std::max(cell, 1e-6);
+    const double inv = 1.0 / cell;
+
     std::unordered_map<CellKey, std::vector<int32_t>, CellHash> grid;
-    grid.reserve((size_t)n_search);
-    const double inv = 1.0 / r;
+    grid.reserve((size_t)(n_search / 8 + 16));
     for (int64_t i = 0; i < n_search; ++i) {
         CellKey key{(int64_t)std::floor(xyz_search[i * 3] * inv),
                     (int64_t)std::floor(xyz_search[i * 3 + 1] * inv),
                     (int64_t)std::floor(xyz_search[i * 3 + 2] * inv)};
         grid[key].push_back((int32_t)i);
     }
-    const double r2 = r * r;
-    std::vector<std::pair<float, int32_t>> cand;
+
+    const double r2 = std::isfinite(r) ? r * r : INF;
+    const int64_t max_ring = std::isfinite(r)
+        ? (int64_t)std::ceil(r * inv) + 1
+        : (int64_t)1e9;
+
     for (int64_t q = 0; q < n_query; ++q) {
         const float qx = xyz_query[q * 3], qy = xyz_query[q * 3 + 1],
                     qz = xyz_query[q * 3 + 2];
         const int64_t cx = (int64_t)std::floor(qx * inv),
                       cy = (int64_t)std::floor(qy * inv),
                       cz = (int64_t)std::floor(qz * inv);
-        cand.clear();
-        for (int64_t dx = -1; dx <= 1; ++dx)
-            for (int64_t dy = -1; dy <= 1; ++dy)
-                for (int64_t dz = -1; dz <= 1; ++dz) {
-                    auto it = grid.find({cx + dx, cy + dy, cz + dz});
-                    if (it == grid.end()) continue;
-                    for (int32_t i : it->second) {
-                        if (exclude_self && (int64_t)i == q) continue;
-                        double ddx = xyz_search[i * 3] - qx;
-                        double ddy = xyz_search[i * 3 + 1] - qy;
-                        double ddz = xyz_search[i * 3 + 2] - qz;
-                        double d2 = ddx * ddx + ddy * ddy + ddz * ddz;
-                        if (d2 <= r2)
-                            cand.emplace_back((float)d2, i);
+        Heap heap((size_t)k);
+
+        for (int64_t ring = 0; ring <= max_ring; ++ring) {
+            // stop when the k-th best is closer than the nearest
+            // possible point in this shell
+            if (ring > 0) {
+                const double shell_min = (double)(ring - 1) * cell;
+                if (shell_min * shell_min > heap.worst()) break;
+                if (shell_min * shell_min > r2) break;
+            }
+            // iterate the Chebyshev shell |max(dx,dy,dz)| == ring
+            for (int64_t dx = -ring; dx <= ring; ++dx)
+                for (int64_t dy = -ring; dy <= ring; ++dy) {
+                    const bool face_xy = (std::llabs(dx) == ring
+                                          || std::llabs(dy) == ring);
+                    int64_t dz_step = face_xy ? 1 : 2 * ring;
+                    if (dz_step == 0) dz_step = 1;
+                    for (int64_t dz = -ring; dz <= ring; dz += dz_step) {
+                        auto it = grid.find({cx + dx, cy + dy, cz + dz});
+                        if (it == grid.end()) continue;
+                        for (int32_t i : it->second) {
+                            if (exclude_self && (int64_t)i == q)
+                                continue;
+                            const double ddx = xyz_search[i * 3] - qx;
+                            const double ddy = xyz_search[i * 3 + 1] - qy;
+                            const double ddz = xyz_search[i * 3 + 2] - qz;
+                            const double d2 =
+                                ddx * ddx + ddy * ddy + ddz * ddz;
+                            if (d2 <= r2)
+                                heap.push((float)d2, i);
+                        }
                     }
                 }
-        int64_t kk = std::min<int64_t>(k, (int64_t)cand.size());
-        std::partial_sort(cand.begin(), cand.begin() + kk, cand.end());
+        }
+        // heap -> ascending output
+        std::sort(heap.v.begin(), heap.v.end());
+        const int64_t kk = (int64_t)heap.v.size();
         for (int64_t j = 0; j < k; ++j) {
             if (j < kk) {
-                nbr_out[q * k + j] = cand[j].second;
-                dist_out[q * k + j] = std::sqrt(cand[j].first);
+                nbr_out[q * k + j] = heap.v[j].second;
+                dist_out[q * k + j] = std::sqrt(heap.v[j].first);
             } else {
                 nbr_out[q * k + j] = -1;
                 dist_out[q * k + j] = INF;

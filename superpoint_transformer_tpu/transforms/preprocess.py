@@ -142,9 +142,12 @@ def point_features(data, keys=('linearity', 'planarity', 'scattering',
                    overwrite=True):
     """Per-point geometric + radiometric features (reference
     PointFeatures, src/transforms/point.py:41). Geometric features run
-    on device via ops.geometry (closed-form batched 3x3 eigh)."""
-    import jax.numpy as jnp
-    from ..ops.geometry import geometric_features
+    host-side (ops.geometry.geometric_features_np — preprocessing is
+    host-orchestrated; round-tripping [N, 9] features through a remote
+    device costs more than computing them, see docs/tpu_design.md).
+    The jittable device twin `geometric_features` serves on-device
+    callers and the numerical cross-check tests."""
+    from ..ops.geometry import geometric_features_np
 
     keys = list(keys or [])
     geof = {'linearity', 'planarity', 'scattering', 'verticality',
@@ -153,9 +156,9 @@ def point_features(data, keys=('linearity', 'planarity', 'scattering',
     if need_geof:
         nbr = data.neighbor_index
         mask = nbr >= 0
-        feats = geometric_features(
-            jnp.asarray(data.pos), jnp.asarray(np.maximum(nbr, 0)),
-            jnp.asarray(mask), k_min=max(k_min, 1), k_step=k_step,
+        feats = geometric_features_np(
+            data.pos, np.maximum(nbr, 0), mask,
+            k_min=max(k_min, 1), k_step=k_step,
             k_min_search=k_min_search)
         for k in need_geof:
             if overwrite or k not in data:
@@ -417,9 +420,9 @@ def segment_features(nag, n_max=32, n_min=5,
                      rng=None):
     """Per-segment geometric features from sampled member points
     (reference SegmentFeatures / _compute_cluster_features,
-    src/transforms/graph.py:117-325)."""
-    import jax.numpy as jnp
-    from ..ops.geometry import geometric_features
+    src/transforms/graph.py:117-325). Host-side math — see
+    point_features."""
+    from ..ops.geometry import geometric_features_np
 
     rng = rng or np.random.default_rng(0)
     keys = list(keys or [])
@@ -432,20 +435,22 @@ def segment_features(nag, n_max=32, n_min=5,
                                            rng)
         xyz = nag[0].pos + rng.random(nag[0].pos.shape).astype(
             np.float32) * 1e-8
-        K = int((ptr[1:] - ptr[:-1]).max())
+        sizes = ptr[1:] - ptr[:-1]
+        K = int(sizes.max())
+        # CSR -> dense [num_nodes, K] without a python loop
+        seg_of = np.repeat(np.arange(num_nodes), sizes)
+        rank = np.arange(samples.shape[0]) - ptr[seg_of]
         nbr = np.full((num_nodes, K), -1, dtype=np.int64)
-        for s in range(num_nodes):
-            lo, hi = ptr[s], ptr[s + 1]
-            nbr[s, :hi - lo] = samples[lo:hi]
+        nbr[seg_of, rank] = samples
         geof_needed = [k for k in keys
                        if k.replace('log_', '') in
                        ('linearity', 'planarity', 'scattering',
                         'verticality', 'curvature', 'length', 'surface',
                         'volume', 'normal')]
         if geof_needed:
-            feats = geometric_features(
-                jnp.asarray(xyz), jnp.asarray(np.maximum(nbr, 0)),
-                jnp.asarray(nbr >= 0), k_min=1, add_self=False)
+            feats = geometric_features_np(
+                xyz, np.maximum(nbr, 0), nbr >= 0, k_min=1,
+                add_self=False)
             for k in geof_needed:
                 base = k[4:] if k.startswith('log_') else k
                 v = np.asarray(feats[base], dtype=np.float32)
@@ -623,36 +628,53 @@ def preprocess_cloud(
         pcp_cutoff=(10, 10, 10), pcp_k_adjacency=10, pcp_w_adjacency=1,
         graph_k_min=1, graph_k_max=30, graph_gap=(0.2, 0.5, 1.0),
         ground_threshold=1.5, ground_scale=4.0,
-        segment_mean_hf=(), segment_std_hf=(), rng=None):
+        segment_mean_hf=(), segment_std_hf=(), rng=None,
+        verbose=False):
     """Full raw-cloud -> NAG preprocessing (the reference
-    `pre_transform` chain)."""
+    `pre_transform` chain). `verbose=True` prints per-stage wall
+    times (reference Transform.__call__(verbose),
+    src/transforms/transforms.py:12)."""
+    from ..utils.profiling import Timings
+    t = Timings()
     rng = rng or np.random.default_rng(0)
-    data = save_node_index(data, key='sub')
-    data = grid_sampling(data, voxel, hist_key='y',
-                         hist_size=num_classes + 1)
-    data = knn_search(data, k=knn, r_max=knn_r)
-    data = point_features(data, keys=point_hf_preprocess)
-    data = ground_elevation(data, z_threshold=ground_threshold,
-                            scale=ground_scale, rng=rng)
-    data = adjacency_graph(data, k=pcp_k_adjacency, w=pcp_w_adjacency)
-    data = connect_isolated(data, k=1)
-    data = add_keys_to(data, list(partition_hf), to='x',
-                       delete_after=False)
-    nag = cut_pursuit_partition(
-        data, regularization=pcp_regularization,
-        spatial_weight=pcp_spatial_weight, cutoff=pcp_cutoff,
-        k_adjacency=pcp_k_adjacency)
+    with t.track('save_node_index'):
+        data = save_node_index(data, key='sub')
+    with t.track('grid_sampling'):
+        data = grid_sampling(data, voxel, hist_key='y',
+                             hist_size=num_classes + 1)
+    with t.track('knn_search'):
+        data = knn_search(data, k=knn, r_max=knn_r)
+    with t.track('point_features'):
+        data = point_features(data, keys=point_hf_preprocess)
+    with t.track('ground_elevation'):
+        data = ground_elevation(data, z_threshold=ground_threshold,
+                                scale=ground_scale, rng=rng)
+    with t.track('adjacency_graph'):
+        data = adjacency_graph(data, k=pcp_k_adjacency,
+                               w=pcp_w_adjacency)
+        data = connect_isolated(data, k=1)
+        data = add_keys_to(data, list(partition_hf), to='x',
+                           delete_after=False)
+    with t.track('cut_pursuit_partition'):
+        nag = cut_pursuit_partition(
+            data, regularization=pcp_regularization,
+            spatial_weight=pcp_spatial_weight, cutoff=pcp_cutoff,
+            k_adjacency=pcp_k_adjacency)
     for i in nag.levels:
         nag[i]._store.pop('x', None)
-    nag = segment_features(nag, mean_keys=segment_mean_hf,
-                           std_keys=segment_std_hf, rng=rng)
-    nag = radius_horizontal_graph(
-        nag, k_min=graph_k_min, k_max=graph_k_max, gap=graph_gap,
-        rng=rng)
+    with t.track('segment_features'):
+        nag = segment_features(nag, mean_keys=segment_mean_hf,
+                               std_keys=segment_std_hf, rng=rng)
+    with t.track('radius_horizontal_graph'):
+        nag = radius_horizontal_graph(
+            nag, k_min=graph_k_min, k_max=graph_k_max, gap=graph_gap,
+            rng=rng)
     # drop working keys not saved by the reference either
     for k in ('neighbor_index', 'neighbor_distance', 'edge_index',
               'edge_attr', 'node_size', 'grid_size'):
         nag[0]._store.pop(k, None)
+    if verbose:
+        print(t.summary(), flush=True)
     return nag
 
 
