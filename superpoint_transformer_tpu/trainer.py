@@ -21,7 +21,7 @@ from . import __version__
 from .metrics.semantic import ConfusionMatrix
 from .transforms.prepare import prepare_batch
 
-__all__ = ['Trainer']
+__all__ = ['Trainer', 'fit_partition']
 
 
 class CSVLogger:
@@ -183,3 +183,60 @@ class Trainer:
 
     def test(self, state, loader):
         return self.validate(state, loader, split='test')
+
+
+def fit_partition(task, train_loader, batch_cfg, output_dir='outputs',
+                  max_epochs=50, seed=0, node_cap=None, edge_cap=None):
+    """EZ-SP stage-1 training loop (reference
+    PartitionAndSemanticModule with training_partition_stage=True):
+    sparse-CNN embeddings + contrastive edge loss on level-0 batches.
+    Returns the trained state; checkpoints go to
+    <output_dir>/checkpoints/{last,best} (best = lowest loss)."""
+    import jax
+    from .transforms.prepare import prepare_partition_batch
+
+    os.makedirs(output_dir, exist_ok=True)
+    logger = CSVLogger(osp.join(output_dir, 'metrics.csv'))
+    np_rng = np.random.default_rng(seed)
+
+    nags0 = next(iter(train_loader))
+    example = prepare_partition_batch(
+        nags0, batch_cfg, train=True, rng=np_rng,
+        node_cap=node_cap, edge_cap=edge_cap)
+    if node_cap is None:
+        node_cap = example.capacity
+        edge_cap = example.edge_index.shape[1]
+    state = task.init_state(jax.random.PRNGKey(seed), example)
+
+    trainer = Trainer(task=task, batch_cfg=batch_cfg,
+                      output_dir=output_dir, max_epochs=max_epochs,
+                      seed=seed)
+    best = np.inf
+    for epoch in range(max_epochs):
+        trainer.epoch = epoch
+        dev_losses, dev_inter = [], []
+        t0 = time.time()
+        for nags in train_loader:
+            batch = prepare_partition_batch(
+                nags, batch_cfg, train=True, rng=np_rng,
+                node_cap=node_cap, edge_cap=edge_cap)
+            state, m = task.train_step(state, batch)
+            dev_losses.append(m['loss'])
+            dev_inter.append(m['n_inter_edge'])
+        losses = [float(x) for x in jax.device_get(dev_losses)]
+        inter = sum(int(x) for x in jax.device_get(dev_inter))
+        row = {'epoch': epoch, 'split': 'train',
+               'loss': float(np.mean(losses)) if losses else None,
+               'n_inter_edge': inter, 'time': time.time() - t0}
+        logger.log(row)
+        print(f"[epoch {epoch}] partition loss={row['loss']:.4f} "
+              f"inter_edges={inter} ({row['time']:.1f}s)")
+        if inter == 0:
+            # reference raises if a WHOLE epoch sees no inter-edges
+            raise RuntimeError(
+                'no inter-edges in a full epoch — check labels/crops')
+        trainer.save_checkpoint(state, 'last')
+        if row['loss'] < best:
+            best = row['loss']
+            trainer.save_checkpoint(state, 'best')
+    return state

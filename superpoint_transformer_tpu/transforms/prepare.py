@@ -12,7 +12,8 @@ from ..data.nag import NAG
 from ..data.pad import batch_nags, pad_nag, PaddedNAG
 from . import runtime as T
 
-__all__ = ['BatchConfig', 'prepare_batch', 'discover_caps']
+__all__ = ['BatchConfig', 'prepare_batch', 'discover_caps',
+           'prepare_partition_batch']
 
 
 @dataclass
@@ -168,3 +169,57 @@ def discover_caps(nag_lists, cfg: BatchConfig, train=True, rng=None,
         node_caps[li] <<= headroom_levels
     return dataclasses.replace(
         cfg, node_caps=node_caps, k_caps=k_caps or None)
+
+
+def prepare_partition_batch(nag_list, cfg: BatchConfig, train=True,
+                            rng=None, knn_adjacency=10, voxel=None,
+                            node_cap=None, edge_cap=None):
+    """Batch prep for the EZ-SP partition stage: level-0 voxels +
+    adjacency edges + quantized coords -> PaddedPointCloud (reference
+    trains PartitionAndSemanticModule on Data batches,
+    src/models/semantic.py:1505).
+
+    Cached NAGs drop the level-0 adjacency (the reference's
+    NAGRemoveKeys does too) — it is rebuilt here with the fast native
+    KNN; `voxel` defaults to the stored grid size.
+    """
+    from ..data.pad import pad_point_cloud
+    from ..data.data import Data
+    from .preprocess import (adjacency_graph, knn_search,
+                             quantize_coordinates)
+
+    rng = rng or np.random.default_rng()
+    datas = []
+    for nag in nag_list:
+        d0 = nag[0]
+        pos = np.asarray(d0.pos, np.float32)
+        feats = []
+        for k in cfg.point_hf:
+            v = d0.get(k)
+            if v is None:
+                continue
+            v = np.asarray(v, np.float32).reshape(pos.shape[0], -1)
+            if k == 'rgb' and v.max() > 1.5:
+                v = v / 255.0
+            feats.append(v)
+        x = np.concatenate(feats, 1) if feats else \
+            np.zeros((pos.shape[0], 1), np.float32)
+        y = d0.get('y')
+        d = Data(pos=pos, x=x, y=y)
+        d = knn_search(d, k=knn_adjacency, r_max=np.inf)
+        d = adjacency_graph(d, k=knn_adjacency)
+        vox = voxel if voxel is not None else float(
+            np.asarray(d0.get('grid_size', 0.04)).reshape(-1)[0])
+        d = quantize_coordinates(d, size=max(vox, 1e-6))
+        if train and cfg.max_num_nodes and \
+                pos.shape[0] > cfg.max_num_nodes:
+            keep = rng.choice(pos.shape[0], cfg.max_num_nodes,
+                              replace=False)
+            keep.sort()
+            d, _ = d.select(keep)
+            d = knn_search(d, k=knn_adjacency, r_max=np.inf)
+            d = adjacency_graph(d, k=knn_adjacency)
+        datas.append(d)
+    return pad_point_cloud(
+        datas, num_classes=cfg.num_classes, node_cap=node_cap,
+        edge_cap=edge_cap, bucket_mode=cfg.bucket_mode)

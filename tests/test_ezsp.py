@@ -121,3 +121,29 @@ def test_partition_purity_perfect_partition():
     y_hist[[2, 3], 1] = 1
     cm = partition_purity(np.array([0, 0, 1, 1]), y_hist, 2)
     assert np.trace(cm) == cm.sum() == 4
+
+
+def test_prepare_partition_batch_and_fit(tmp_path):
+    """EZ-SP stage-1 through the public loop: cached-NAG style input ->
+    prepare_partition_batch -> fit_partition (2 epochs)."""
+    from superpoint_transformer_tpu.transforms.prepare import (
+        BatchConfig, prepare_partition_batch)
+    from superpoint_transformer_tpu.trainer import fit_partition
+    from superpoint_transformer_tpu.models.partition import (
+        PartitionModel, PartitionTask)
+    from superpoint_transformer_tpu.utils.synthetic import random_nag
+
+    nags = [random_nag(seed=s, n_points=400) for s in range(2)]
+
+    class _Loader:
+        def __iter__(self):
+            yield [n.clone() for n in nags]
+
+    cfg = BatchConfig(num_classes=13)
+    task = PartitionTask(net=PartitionModel(channels=(8, 8),
+                                            num_graphs=2),
+                         num_classes=13, lr=1e-3, total_steps=10)
+    state = fit_partition(task, _Loader(), cfg,
+                          output_dir=str(tmp_path), max_epochs=2)
+    assert int(state.step) == 2
+    assert (tmp_path / 'metrics.csv').exists()

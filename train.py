@@ -41,6 +41,19 @@ def main(argv=None):
                               shuffle=True, seed=seed)
     val_loader = DataLoader(datasets['val'], batch_size=1)
 
+    # EZ-SP stage 1: train the partition embedding (its own loop —
+    # level-0 batches, contrastive edge loss)
+    if str(cfg.model.get('task', 'semantic')) == 'partition':
+        from superpoint_transformer_tpu.trainer import fit_partition
+        task = build_task(
+            cfg, total_steps=int(cfg.trainer.max_epochs)
+            * max(len(train_loader), 1))
+        fit_partition(
+            task, train_loader, batch_cfg,
+            output_dir=str(cfg.get('output_dir', 'outputs')),
+            max_epochs=int(cfg.trainer.max_epochs), seed=seed)
+        return None
+
     max_epochs = int(cfg.trainer.max_epochs)
     steps_per_epoch = max(len(train_loader), 1)
 
