@@ -21,7 +21,7 @@ from . import __version__
 from .metrics.semantic import ConfusionMatrix
 from .transforms.prepare import prepare_batch
 
-__all__ = ['Trainer', 'fit_partition']
+__all__ = ['Trainer', 'fit_partition', 'validate_panoptic']
 
 
 class CSVLogger:
@@ -240,3 +240,98 @@ def fit_partition(task, train_loader, batch_cfg, output_dir='outputs',
             best = row['loss']
             trainer.save_checkpoint(state, 'best')
     return state
+
+
+def validate_panoptic(task, state, loader, batch_cfg, num_classes,
+                      stuff_classes=(), grid_search=False, seed=0):
+    """Panoptic validation epoch (reference
+    PanopticSegmentationModule._forward_partition + the epoch-end
+    grid search, src/models/panoptic.py:498,952): per batch, run the
+    instance partition on predicted logits + edge affinities, match
+    against the gt InstanceData overlaps, accumulate PQ (and mAP).
+
+    Requires batches prepared with `instance=True` (obj_edge_index on
+    level 1) and host NAGs carrying `obj` InstanceData at level 1.
+    Returns dict(pq, sq, rq, map_50, ...). `grid_search=True` searches
+    the partition hyperparameters on the FIRST batch and reuses the
+    best settings for the rest (the reference searches on stored
+    outputs each validation epoch).
+    """
+    import jax
+    from .metrics.panoptic import PanopticQuality3D
+    from .metrics.mean_average_precision import MeanAveragePrecision3D
+    from .models.panoptic import (instance_partition,
+                                  grid_search_panoptic_partition)
+    from .transforms.prepare import prepare_batch
+
+    pq = PanopticQuality3D(num_classes, stuff_classes=stuff_classes)
+    ap = MeanAveragePrecision3D(num_classes,
+                                stuff_classes=stuff_classes)
+    settings = dict(regularization=10.0, x_weight=5e-2, cutoff=1)
+    first = True
+    for nags in loader:
+        batch = prepare_batch(nags, batch_cfg, train=False)
+        out = task.eval_step(state, batch)
+        lvl1 = batch[1]
+        n1 = int(np.asarray(lvl1.num_nodes))
+        logits = np.asarray(out['logits_level1'])[:n1]
+        ea = out.get('edge_affinity_logits')
+        if ea is None or lvl1.obj_edge_index is None:
+            continue
+        emask = np.asarray(lvl1.obj_edge_mask)
+        ei = np.asarray(lvl1.obj_edge_index)[:, emask]
+        ea = np.asarray(ea)[emask]
+        pos = np.asarray(lvl1.pos)[:n1]
+        sizes = np.asarray(lvl1.node_size)[:n1] \
+            if lvl1.node_size is not None else None
+        # gt overlaps from the host NAGs (level-1 InstanceData)
+        objs = [nag[1].get('obj') for nag in nags]
+        if any(o is None for o in objs):
+            continue
+        obj = objs[0] if len(objs) == 1 else _cat_instance(objs)
+
+        if grid_search and first:
+            settings, _, _ = grid_search_panoptic_partition(
+                pos, logits, ei, ea, obj, num_classes,
+                node_size=sizes, stuff_classes=stuff_classes)
+            first = False
+        obj_index = instance_partition(
+            pos, logits, ei, ea, node_size=sizes,
+            stuff_classes=stuff_classes, num_classes=num_classes,
+            **settings)
+        merged = obj.merge(obj_index)
+        n_inst = int(obj_index.max()) + 1
+        pred_sem = np.zeros(n_inst, np.int64)
+        scores = np.zeros(n_inst)
+        for i_ in range(n_inst):
+            m = obj_index == i_
+            s = logits[m].sum(0)
+            pred_sem[i_] = s.argmax()
+            p = np.exp(s - s.max())
+            scores[i_] = (p / p.sum()).max()
+        pq.update_from_instance_data(merged, pred_sem)
+        ap.update_from_instance_data(merged, pred_sem, scores)
+    out = pq.compute()
+    out.update({f'map_{k}' if not k.startswith('map') else k: v
+                for k, v in ap.compute().items()
+                if k in ('map', 'map_50', 'map_25', 'mar')})
+    out['settings'] = settings
+    return out
+
+
+def _cat_instance(objs):
+    """Concatenate per-cloud level-1 InstanceData with obj-id offsets
+    (batch collation for gt overlaps)."""
+    from .data.csr import InstanceData
+    ptr_off = 0
+    obj_off = 0
+    ptrs, obj_v, cnt_v, y_v = [np.zeros(1, np.int64)], [], [], []
+    for o in objs:
+        ptrs.append(o.pointers[1:] + ptr_off)
+        ptr_off += o.pointers[-1]
+        obj_v.append(o.obj + obj_off)
+        obj_off += int(o.obj.max()) + 1 if o.obj.size else 0
+        cnt_v.append(o.count)
+        y_v.append(o.y)
+    return InstanceData(np.concatenate(ptrs), np.concatenate(obj_v),
+                        np.concatenate(cnt_v), np.concatenate(y_v))

@@ -11,7 +11,7 @@ __all__ = ['random_nag']
 
 
 def random_nag(seed=0, n_points=512, n_l1=64, n_l2=16, num_classes=13,
-               k_edges=6, with_features=True):
+               k_edges=6, with_features=True, with_instances=False):
     """A small, structurally-valid 3-level NAG with the S3DIS feature
     layout (8 point features, 7-dim stored edge features, histogram
     labels)."""
@@ -65,6 +65,17 @@ def random_nag(seed=0, n_points=512, n_l1=64, n_l2=16, num_classes=13,
               log_surface=rng.random((n_l1, 1)).astype(np.float32),
               log_volume=rng.random((n_l1, 1)).astype(np.float32),
               log_size=rng.random((n_l1, 1)).astype(np.float32))
+    if with_instances:
+        from ..data.csr import InstanceData
+        # each level-1 segment overlaps its own dominant gt object
+        # (id = segment // 2, so pairs of segments share an object)
+        obj_of_seg = np.arange(n_l1) // 2
+        y_of_obj = rng.integers(0, num_classes, obj_of_seg.max() + 1)
+        ptr = np.arange(n_l1 + 1, dtype=np.int64)
+        d1['obj'] = InstanceData(
+            ptr, obj_of_seg,
+            np.bincount(sup0, minlength=n_l1).astype(np.int64),
+            y_of_obj[obj_of_seg])
     d2 = Data(pos=pos2,
               sub=Cluster(sup1, np.arange(n_l1), dense=True),
               edge_index=ei2,

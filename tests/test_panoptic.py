@@ -188,3 +188,41 @@ def test_panoptic_train_step():
     pq.update_from_instance_data(pred_inst, pred_sem)
     m = pq.compute()
     assert 0 <= m['pq'] <= 100
+
+
+def test_validate_panoptic_epoch():
+    """Full panoptic validation epoch: eval -> instance partition ->
+    PQ/mAP from overlaps (reference _forward_partition + epoch-end
+    metrics, src/models/panoptic.py:498,952)."""
+    import jax
+    from superpoint_transformer_tpu.trainer import validate_panoptic
+    from superpoint_transformer_tpu.transforms.prepare import (
+        BatchConfig, prepare_batch)
+    from superpoint_transformer_tpu.utils.synthetic import random_nag
+    from superpoint_transformer_tpu.models.spt import SPT
+
+    nags = [random_nag(seed=s, n_points=300, with_instances=True)
+            for s in range(2)]
+    net = SPT(point_mlp=(12, 16, 32), down_dim=(16, 16),
+              down_in_mlp=((4 + 32, 16), (4 + 16, 16)),
+              down_num_heads=2, down_num_blocks=1, up_dim=(16,),
+              up_in_mlp=((4 + 16 + 16, 16),), h_edge_mlp=(18, 8),
+              in_rpe_dim=8, qk_dim=2, no_ffn=True, k_rpe=True,
+              q_rpe=True, v_rpe=True, use_diameter_parent=True,
+              output_stage_wise=True, num_graphs=1)
+    task = PanopticTask(net=net, num_classes=13, total_steps=10,
+                        warmup_steps=1)
+    cfg = BatchConfig(sample_graph_r=-1, sample_segment_ratio=0,
+                      instance=True)
+    example = prepare_batch([nags[0].clone()], cfg, train=False)
+    state = task.init_state(jax.random.PRNGKey(0), example)
+
+    class _Loader:
+        def __iter__(self):
+            for n in nags:
+                yield [n.clone()]
+
+    out = validate_panoptic(task, state, _Loader(), cfg,
+                            num_classes=13)
+    assert np.isfinite(out['pq'])
+    assert 'map_50' in out
