@@ -159,18 +159,23 @@ class SelfAttentionBlock(nn.Module):
         degree = nbr_mask.sum(axis=1)
         scale = qk_scale_from_degree(self.qk_scale, D, degree)
 
-        # Fused Pallas path (inference): one VMEM pass instead of
-        # several HBM-materialized [N, K, H] intermediates. Training
-        # keeps the XLA path — it is differentiable and supports
-        # attention dropout.
+        # Fused Pallas path: one VMEM pass instead of several
+        # HBM-materialized [N, K, H] intermediates. Training uses the
+        # custom-VJP wrapper (recompute-style backward); attention
+        # dropout needs the materialized attn matrix -> XLA path.
+        attn_dropping = (train and self.attn_drop is not None
+                         and self.attn_drop > 0)
         use_pallas = (_PALLAS_ENABLED and self.use_pallas
-                      and not train
+                      and not attn_dropping
                       and K % 8 == 0 and N % 128 == 0
                       and jax.default_backend() != 'cpu')
         if use_pallas:
-            from ..ops.pallas_attention import dense_attention_pallas
-            out = dense_attention_pallas(
-                q, k, v, nbr_mask, scale).reshape(N, C)
+            from ..ops.pallas_attention import (
+                dense_attention_pallas,
+                dense_attention_pallas_trainable)
+            fn = dense_attention_pallas_trainable if train \
+                else dense_attention_pallas
+            out = fn(q, k, v, nbr_mask, scale).reshape(N, C)
         else:
             if q.ndim == 3:  # no q RPE: broadcast inside einsum
                 q = q * scale[:, None, None]

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ['dense_attention_pallas']
+__all__ = ['dense_attention_pallas',
+           'dense_attention_pallas_trainable']
 
 
 def _kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, q_has_k, H, D, C):
@@ -121,3 +122,44 @@ def dense_attention_pallas(q, k, v, nbr_mask, scale, block_n=None):
     )(q_t, k_t, v_t, maskf)
     # [H*C, N] -> [N, H, C]
     return out.reshape(H, C, N).transpose(2, 0, 1)
+
+
+def _xla_reference(q, k, v, nbr_mask, scale):
+    """The mathematically-identical XLA expression (used for the
+    custom backward: its autodiff IS the attention gradient)."""
+    if q.ndim == 3:
+        qq = (q * scale[:, None, None])[:, None]
+    else:
+        qq = q * scale[:, None, None, None]
+    compat = jnp.sum(qq * k, axis=-1)
+    neg = jnp.asarray(-1e30, compat.dtype)
+    compat = jnp.where(nbr_mask[:, :, None], compat, neg)
+    attn = jax.nn.softmax(compat, axis=1)
+    attn = attn * nbr_mask[:, :, None].astype(attn.dtype)
+    return jnp.einsum('nkh,nkhc->nhc', attn, v)
+
+
+@jax.custom_vjp
+def dense_attention_pallas_trainable(q, k, v, nbr_mask, scale):
+    """Differentiable fused attention: the forward runs the Pallas
+    kernel; the backward differentiates the equivalent XLA expression
+    (recompute-based — the [N, K, H] attention matrix is never stored,
+    trading a second fused pass for HBM, a la flash attention)."""
+    return dense_attention_pallas(q, k, v, nbr_mask, scale)
+
+
+def _fwd(q, k, v, nbr_mask, scale):
+    out = dense_attention_pallas(q, k, v, nbr_mask, scale)
+    return out, (q, k, v, nbr_mask, scale)
+
+
+def _bwd(res, g):
+    q, k, v, nbr_mask, scale = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, s_: _xla_reference(q_, k_, v_, nbr_mask, s_),
+        q, k, v, scale)
+    dq, dk, dv, ds = vjp(g)
+    return dq, dk, dv, None, ds
+
+
+dense_attention_pallas_trainable.defvjp(_fwd, _bwd)

@@ -63,3 +63,36 @@ def test_pallas_attention_all_masked_row():
     out = np.asarray(out)
     assert np.isfinite(out).all()
     assert np.abs(out[N // 2:]).max() == 0.0
+
+
+def test_pallas_attention_gradients_match_xla():
+    """custom-VJP backward == XLA autodiff of the same expression."""
+    from superpoint_transformer_tpu.ops.pallas_attention import (
+        dense_attention_pallas_trainable, _xla_reference)
+    rng = np.random.default_rng(2)
+    N, K, H, D, C = 128, 8, 2, 4, 4
+    q = jnp.asarray(rng.normal(size=(N, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(N, K, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(N, K, H, C)), jnp.float32)
+    mask = jnp.asarray(rng.random((N, K)) > 0.3)
+    scale = jnp.asarray(rng.random(N) + 0.5, jnp.float32)
+
+    def loss_p(q, k, v, scale):
+        return dense_attention_pallas_trainable(
+            q, k, v, mask, scale).sum()
+
+    def loss_x(q, k, v, scale):
+        return _xla_reference(q, k, v, mask, scale).sum()
+
+    if jax.default_backend() == 'cpu':
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(q, k, v, scale)
+    else:
+        gp = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2, 3)))(
+            q, k, v, scale)
+    gx = jax.jit(jax.grad(loss_x, argnums=(0, 1, 2, 3)))(
+        q, k, v, scale)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=3e-5)
