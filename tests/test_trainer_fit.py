@@ -67,3 +67,58 @@ def test_fit_and_checkpoint(tmp_path):
     # TTA validation runs and returns finite metrics
     m = trainer.validate(state, _Loader(nags[:2]), tta_runs=2)
     assert np.isfinite(m['miou'])
+
+
+@pytest.mark.slow
+def test_training_improves_miou():
+    """Learning quality: on synthetic NAGs whose level-1 features
+    encode the labels, a few epochs of Trainer.fit must lift train
+    mIoU well above the random-prediction floor."""
+    rng = np.random.default_rng(0)
+    nags = []
+    for s in range(4):
+        nag = random_nag(seed=s, n_points=300)
+        for lvl in (1, 2):
+            d = nag[lvl]
+            y = np.asarray(d.y)[:, :13].argmax(1)
+            # leak the label into the segment handcrafted features
+            d['log_length'] = (y[:, None] / 13.0 +
+                               rng.normal(0, 0.02, (d.num_nodes, 1))
+                               ).astype(np.float32)
+        nags.append(nag)
+
+    from superpoint_transformer_tpu.transforms.prepare import (
+        BatchConfig, discover_caps, prepare_batch)
+    cfg = BatchConfig(
+        sample_graph_r=-1, sample_segment_ratio=0,
+        segment_hf=('normal', 'log_length', 'log_surface',
+                    'log_volume', 'log_size'),
+        max_num_nodes=10_000)
+    cfg = discover_caps([nags[:2], nags[2:]], cfg,
+                        rng=np.random.default_rng(0))
+    net = tiny_model()
+    import dataclasses
+    net = dataclasses.replace(
+        net,
+        node_mlp=(9, 16),
+        down_in_mlp=((4 + 16 + 32, 16), (4 + 16 + 16, 16)),
+        up_in_mlp=((4 + 16 + 16 + 16, 16),))
+    task = SemanticTask(net=net, num_classes=13, lr=0.05,
+                        total_steps=40, warmup_steps=2,
+                        multi_stage_loss_lambdas=(1., 1.))
+    trainer = Trainer(task=task, batch_cfg=cfg, output_dir='/tmp/fitq',
+                      max_epochs=15, check_val_every_n_epoch=100)
+    loader = _Loader(nags)
+    example = prepare_batch([n.clone() for n in nags[:2]], cfg,
+                            train=True, rng=np.random.default_rng(0))
+    state = task.init_state(jax.random.PRNGKey(0), example)
+    state = trainer.fit(state, loader)
+
+    import csv
+    rows = list(csv.DictReader(open('/tmp/fitq/metrics.csv')))
+    mious = [float(r['miou']) for r in rows if r['split'] == 'train']
+    # random floor ~ 1/13 = 7.7 mIoU; the leaked feature should push
+    # the final epochs above it and well above the first epoch
+    # (observed: 2.6 -> 14.5 over 15 epochs)
+    assert max(mious[-3:]) > 10, mious
+    assert max(mious[-3:]) > 2.5 * mious[0], mious
