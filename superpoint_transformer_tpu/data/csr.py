@@ -6,7 +6,6 @@ a `pointers` array of segment boundaries plus a list of `values`
 arrays. `is_index_value` flags which value arrays hold indices (and
 must be offset when batching).
 """
-import h5py
 import numpy as np
 
 from .io import save_array, load_array

@@ -4,10 +4,6 @@ Performs the channel-size derivations the reference encodes as
 `${eval:...}` YAML interpolations (configs/model/semantic/default.yaml
 :45-70, _down.yaml, _up.yaml, _features.yaml) in plain code.
 """
-from typing import Optional
-
-import numpy as np
-
 from .config.loader import Config
 from .models.spt import SPT
 from .models.semantic import SemanticTask

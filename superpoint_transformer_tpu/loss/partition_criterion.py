@@ -14,10 +14,7 @@ achieved in expectation by REWEIGHTING: every inter edge keeps weight
 reproduces the sampled class proportions exactly while remaining a
 static-shape jit program (and is lower-variance than sampling).
 """
-import jax
 import jax.numpy as jnp
-
-from .focal import binary_focal_loss
 
 __all__ = ['partition_criterion', 'edge_affinity_from_features']
 

@@ -13,8 +13,6 @@ Conventions (reference parity):
   - class weights w_c multiply the per-class nll, and torch's weighted
     CE normalizes by the sum of applied weights.
 """
-from typing import Optional, Sequence
-
 import jax
 import jax.numpy as jnp
 

@@ -14,8 +14,8 @@ arXiv:1801.00868): void ground-truth instances are ignored; unmatched
 predictions with > 50% void overlap are discarded rather than counted
 as false positives.
 """
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence
+from dataclasses import dataclass
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

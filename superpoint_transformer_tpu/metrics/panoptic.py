@@ -9,9 +9,7 @@ Void handling: ground-truth void instances are ignored; unmatched
 predictions whose overlap with void exceeds half their size do not
 count as false positives.
 """
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional
-
+from dataclasses import dataclass
 import numpy as np
 
 __all__ = ['PanopticQuality3D', 'panoptic_quality_from_overlaps']

@@ -4,7 +4,7 @@ augmentation (reference src/utils/output_semantic.py:11-139 and
 SemanticSegmentationModule.step_multi_run_inference,
 src/models/semantic.py:485-561).
 """
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import numpy as np

@@ -9,7 +9,7 @@ src/utils/instance.py:540).
 """
 from dataclasses import dataclass
 from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +20,7 @@ from ..data.pad import PaddedNAG
 from ..loss.semantic import multi_stage_loss
 from ..metrics.semantic import confusion_matrix_from_histogram
 from ..nn.mlp import Classifier, FFN
-from .semantic import SemanticTask, TrainState
+from .semantic import SemanticTask
 from .spt import SPT
 
 __all__ = ['PanopticSegmentationModel', 'PanopticTask',
@@ -195,23 +195,27 @@ def instance_partition(
     if stuff_classes is not None and len(stuff_classes):
         pred_cls = node_logits.argmax(1)
         batch = batch if batch is not None else np.zeros(n, np.int64)
-        # majority class per instance
-        comp_cls = np.zeros(n_comp, dtype=np.int64)
-        for c in range(n_comp):
-            m = si == c
-            if m.any():
-                comp_cls[c] = np.bincount(pred_cls[m]).argmax()
+        C = node_logits.shape[1]
+        # majority predicted class per instance (vectorized histogram)
+        hist = np.zeros((n_comp, C), dtype=np.int64)
+        np.add.at(hist, (si, pred_cls), 1)
+        comp_cls = hist.argmax(1)
         comp_batch = np.zeros(n_comp, dtype=np.int64)
         comp_batch[si] = batch
+        # all stuff-class components of one (batch, class) collapse to
+        # the first such component
         remap = np.arange(n_comp)
-        key = {}
-        for c in range(n_comp):
-            if comp_cls[c] in stuff_classes:
-                k = (int(comp_batch[c]), int(comp_cls[c]))
-                if k in key:
-                    remap[c] = key[k]
-                else:
-                    key[k] = c
+        is_stuff = np.isin(comp_cls, np.asarray(list(stuff_classes)))
+        key = comp_batch * C + comp_cls
+        stuff_idx = np.where(is_stuff)[0]
+        if stuff_idx.size:
+            order = stuff_idx[np.argsort(key[stuff_idx], kind='stable')]
+            ks = key[order]
+            first = np.ones(order.shape[0], bool)
+            first[1:] = ks[1:] != ks[:-1]
+            group_first = order[np.maximum.accumulate(
+                np.where(first, np.arange(order.shape[0]), 0))]
+            remap[order] = group_first
         si = remap[si]
         # re-compact
         _, si = np.unique(si, return_inverse=True)
@@ -247,11 +251,10 @@ def grid_search_panoptic_partition(
                     num_classes=num_classes, batch=batch)
                 merged = obj.merge(obj_index)
                 n_inst = int(obj_index.max()) + 1
-                pred_sem = np.zeros(n_inst, np.int64)
                 logits_np = np.asarray(node_logits)
-                for i in range(n_inst):
-                    m = obj_index == i
-                    pred_sem[i] = logits_np[m].sum(0).argmax()
+                acc = np.zeros((n_inst, logits_np.shape[1]))
+                np.add.at(acc, obj_index, logits_np)
+                pred_sem = acc.argmax(1)
                 pq = PanopticQuality3D(
                     num_classes, stuff_classes=stuff_classes)
                 pq.update_from_instance_data(merged, pred_sem)

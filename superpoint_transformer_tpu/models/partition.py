@@ -10,7 +10,6 @@ from functools import partial
 from typing import Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 

@@ -5,9 +5,9 @@ matrix metrics, AdamW + cosine-warmup with differential transformer
 LR. Replaces the Lightning module with a functional train/eval step
 pair built around a flax TrainState.
 """
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

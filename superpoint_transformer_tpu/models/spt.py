@@ -8,7 +8,7 @@ edge features are MLP-encoded per level before use.
 Consumes a `PaddedNAG` (static shapes, dense neighbors); all feature
 concatenation (`nag.add_keys_to`) happens host-side at batch prep.
 """
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .norm import GraphNorm, INDEX_BASED_NORMS
+from .norm import GraphNorm
 
 __all__ = ['MLP', 'FFN', 'Classifier', 'leaky_relu']
 

@@ -7,15 +7,12 @@ All index-based norms take `(x, batch, mask)` where `batch` is a graph
 id per node and `mask` flags real (non-padding) rows; statistics ignore
 padded rows, matching the reference's ragged semantics exactly.
 """
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.segment import (
-    segment_mean, segment_sum, segment_count, segment_max, segment_min,
-    segment_mean_weighted)
+    segment_sum, segment_count, segment_max, segment_min)
 
 __all__ = ['GraphNorm', 'LayerNorm', 'InstanceNorm', 'GroupNorm',
            'BatchNorm', 'UnitSphereNorm', 'INDEX_BASED_NORMS']

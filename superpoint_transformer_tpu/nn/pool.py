@@ -4,7 +4,6 @@ segment ops, plus attentive pools. Children are sorted by parent
 """
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

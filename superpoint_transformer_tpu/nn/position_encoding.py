@@ -3,13 +3,10 @@ src/nn/position_encoding.py:17-144): ways of combining node positions
 (normalized by UnitSphereNorm upstream) with node features before a
 stage's input MLP. All are static-shape jit-friendly.
 """
-from typing import Callable, Optional
-
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .mlp import MLP, leaky_relu, xavier_uniform_gain
+from .mlp import MLP, xavier_uniform_gain
 
 __all__ = ['CatInjection', 'AdditiveInjection', 'MLPInjection',
            'FourierInjection', 'LearnableFourierInjection',

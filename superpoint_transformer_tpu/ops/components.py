@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from .native import greedy_cut
-from .segment import segment_sum, segment_mean_weighted
 
 __all__ = [
     'wcc_by_max_propagation', 'wcc_by_max_propagation_np',

@@ -9,7 +9,6 @@ Host (numpy) variants are used during batch preparation; jax variants
 for in-jit graph manipulation.
 """
 import numpy as np
-import jax.numpy as jnp
 
 __all__ = [
     'edges_to_dense_neighbors', 'add_self_loops_np', 'untrim_edges_np',

@@ -7,8 +7,6 @@ and support `indices_are_sorted` so XLA can lower sorted reductions
 efficiently. Out-of-range indices (used as padding) are dropped by
 jax's segment op semantics.
 """
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

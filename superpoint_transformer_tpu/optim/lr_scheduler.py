@@ -4,8 +4,6 @@ configs/model/semantic/default.yaml:31-37; differential transformer LR
 mirrors SemanticSegmentationModule.configure_optimizers,
 src/models/semantic.py:1245-1268).
 """
-from typing import Optional
-
 import jax
 import optax
 

@@ -8,9 +8,6 @@ device holds one padded NAG batch (leading device axis on every leaf),
 matrices are `psum`-reduced over ICI, and the optimizer update is
 computed redundantly on all devices (fully-replicated params).
 """
-from functools import partial
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np

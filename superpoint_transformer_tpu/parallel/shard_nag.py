@@ -19,8 +19,6 @@ norms themselves (see nn/norm.py `shard_axis`).
 Returns per-device PaddedNAGs stacked leaf-wise: leaves have a leading
 [n_dev, ...] axis ready for `shard_map` over a ('shard',) mesh.
 """
-from typing import Optional
-
 import numpy as np
 import jax.numpy as jnp
 

@@ -3,13 +3,12 @@ padded device batch. This is the host-side mirror of the reference's
 `on_device_train_transform` / `on_device_val_transform` pipelines
 (configs/datamodule/semantic/default.yaml:206-428) followed by padding.
 """
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-from ..data.nag import NAG
-from ..data.pad import batch_nags, pad_nag, PaddedNAG
+from ..data.pad import batch_nags, pad_nag
 from . import runtime as T
 
 __all__ = ['BatchConfig', 'prepare_batch', 'discover_caps',

@@ -11,7 +11,6 @@ src/transforms/geometry.py (augmentations).
 """
 import numpy as np
 
-from ..data.nag import NAG
 
 __all__ = [
     'node_size', 'on_the_fly_horizontal_edge_features',

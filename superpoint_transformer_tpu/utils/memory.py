@@ -1,7 +1,6 @@
 """Memory / failure helpers (reference src/utils/memory.py:19-53 OOM
 classification + garbage collection, and utils/utils.py:30
 task_wrapper crash-safe logging)."""
-import contextlib
 import gc
 import traceback
 
