@@ -46,6 +46,45 @@ def main(argv=None):
     tta_runs = int(cfg.get('tta_runs', 0))
     metrics = trainer.validate(state, loader, split='test',
                                tta_runs=tta_runs)
+    # SuperCluster: also run the instance partition + PQ/mAP
+    # (reference PanopticSegmentationModule test epoch)
+    if str(cfg.model.get('task', 'semantic')) == 'panoptic':
+        trainer.stuff_classes = tuple(
+            cfg.datamodule.get('stuff_classes', ()))
+        trainer.panoptic_grid_search = bool(
+            cfg.get('panoptic_grid_search', True))
+        metrics = {**metrics,
+                   **trainer.validate_panoptic(state, loader,
+                                               split='test')}
+    # held-out benchmark submission: full-resolution predictions per
+    # cloud in the dataset's format (reference
+    # BaseDataset.make_submission, src/datasets/base.py:1115)
+    if bool(cfg.get('submission', False)):
+        import numpy as np
+        from superpoint_transformer_tpu.data import NAG
+        from superpoint_transformer_tpu.datasets.base import (
+            make_submission)
+        from superpoint_transformer_tpu.models.output import (
+            SemanticSegmentationOutput)
+        ds = datasets['test']
+        sub_dir = osp.join(str(cfg.get('output_dir', 'outputs')),
+                           'submission')
+        for i, cid in enumerate(ds.cloud_ids):
+            nag = ds[i]
+            batch = prepare_batch([nag], batch_cfg, train=False)
+            out = task.eval_step(state, batch)
+            n1 = int(np.asarray(batch[1].num_nodes))
+            o = SemanticSegmentationOutput(
+                np.asarray(out['logits_level1'])[:n1])
+            low = NAG.load(ds.processed_path(cid), high=0,
+                           keys_low=['sub', 'super_index'])
+            d0 = low[0]
+            if d0.get('sub') is not None:
+                pred = o.full_res_semantic_pred(d0.super_index, d0.sub)
+            else:
+                pred = o.voxel_semantic_pred(d0.super_index)
+            make_submission(ds, cid, pred, sub_dir)
+        print(f'submission written to {sub_dir}')
     return metrics
 
 

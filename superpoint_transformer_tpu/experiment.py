@@ -4,6 +4,8 @@ Performs the channel-size derivations the reference encodes as
 `${eval:...}` YAML interpolations (configs/model/semantic/default.yaml
 :45-70, _down.yaml, _up.yaml, _features.yaml) in plain code.
 """
+import numpy as np
+
 from .config.loader import Config
 from .models.spt import SPT
 from .models.semantic import SemanticTask
@@ -168,7 +170,9 @@ def build_task(cfg: Config, total_steps=None, class_weight=None,
         transformer_lr_scale=float(m.transformer_lr_scale),
         total_steps=total_steps or 100_000,
         warmup_steps=int(m.scheduler.num_warmup),
-        class_weight=class_weight)
+        class_weight=class_weight,
+        accumulate_grad_batches=int(
+            cfg.trainer.get('accumulate_grad_batches', 1)))
 
     if task_type == 'panoptic':
         from .models.panoptic import PanopticTask
@@ -214,13 +218,18 @@ def build_batch_config(cfg: Config) -> BatchConfig:
         h_edge_feat_jitter=float(dm.h_edge_feat_jitter),
         rgb_autocontrast=float(dm.rgb_autocontrast),
         rgb_drop=float(dm.rgb_drop),
-        nano=bool(dm.nano))
+        nano=bool(dm.nano),
+        instance=bool(dm.get('instance', False)),
+        instance_k_max=int(dm.get('instance_k_max', 30)),
+        instance_radius=float(dm.get('instance_radius', 0.1)))
 
 
 def _pre_transform_config(cfg: Config):
     dm = cfg.datamodule
-    return dict(
+    out = dict(
         voxel=float(dm.voxel), knn=int(dm.knn), knn_r=float(dm.knn_r),
+        knn_step=int(dm.get('knn_step', -1)),
+        knn_min_search=int(dm.get('knn_min_search', 25)),
         partition_hf=tuple(dm.partition_hf),
         point_hf_preprocess=tuple(sorted(
             set(list(dm.point_hf) + list(dm.partition_hf)
@@ -237,6 +246,26 @@ def _pre_transform_config(cfg: Config):
         ground_scale=float(dm.ground_scale),
         segment_mean_hf=tuple(dm.segment_mean_hf),
         segment_std_hf=tuple(dm.segment_std_hf))
+    # EZ-SP stage 2: learned-CNN partition features + greedy
+    # contour-prior partition replace cut-pursuit (added only when
+    # requested so the default cache hashes stay stable)
+    mode = str(dm.get('partition_mode', 'cut_pursuit'))
+    if mode != 'cut_pursuit':
+        out.update(
+            partition_mode=mode,
+            pretrained_cnn_ckpt_path=dm.get(
+                'pretrained_cnn_ckpt_path'),
+            pretrained_cnn_channels=tuple(dm.get(
+                'pretrained_cnn_channels', (32, 32, 32))),
+            contour_prior_reg=dm.get('contour_prior_reg', 2e-2),
+            contour_prior_min_size=tuple(dm.get(
+                'contour_prior_min_size', (5, 30, 90))),
+            contour_prior_edge_weight_mode=str(dm.get(
+                'contour_prior_edge_weight_mode',
+                'exp_neg_latent_distance')),
+            contour_prior_k_isolated=int(dm.get(
+                'contour_prior_k_isolated', 5)))
+    return out
 
 
 def build_datasets(cfg: Config, stages=('train', 'val', 'test')):
@@ -256,6 +285,11 @@ def build_datasets(cfg: Config, stages=('train', 'val', 'test')):
         pre_transform_config=_pre_transform_config(cfg),
         in_memory=bool(dm.get('in_memory', False)),
         nano=bool(dm.get('nano', False)))
+    if dm.get('xy_tiling'):
+        t = dm.xy_tiling
+        kwargs['xy_tiling'] = tuple(t) if not np.isscalar(t) else int(t)
+    if dm.get('pc_tiling'):
+        kwargs['pc_tiling'] = int(dm.pc_tiling)
     if dm.dataset in ('s3dis', 's3dis_room'):
         kwargs['fold'] = int(dm.get('fold', 5))
     out = {}

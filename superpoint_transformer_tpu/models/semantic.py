@@ -62,6 +62,10 @@ class SemanticTask:
     total_steps: int = 100_000
     warmup_steps: int = 2_000
     class_weight: Optional[np.ndarray] = None
+    # apply the optimizer every k batches, averaging gradients
+    # (reference GradientAccumulator callback in the *_11g configs,
+    # e.g. configs/experiment/semantic/s3dis_11g.yaml:33-37)
+    accumulate_grad_batches: int = 1
 
     def __post_init__(self):
         self.model = SemanticSegmentationModel(
@@ -77,6 +81,10 @@ class SemanticTask:
             transformer_lr_scale=self.transformer_lr_scale,
             total_steps=self.total_steps,
             num_warmup_steps=self.warmup_steps, params=params)
+        if self.accumulate_grad_batches > 1:
+            import optax
+            tx = optax.MultiSteps(
+                tx, every_k_schedule=int(self.accumulate_grad_batches))
         return TrainState.create(
             apply_fn=self.model.apply, params=params, tx=tx,
             batch_stats=variables.get('batch_stats'))

@@ -55,6 +55,16 @@ class Trainer:
     seed: int = 0
     node_caps: Optional[dict] = None
     k_caps: Optional[dict] = None
+    # -- panoptic (SuperCluster) options ---------------------------------
+    # run the instance partition + PQ every N validation-capable epochs
+    # (reference model.partition_every_n_epoch; <=0 disables)
+    partition_every_n_epoch: int = -1
+    stuff_classes: tuple = ()
+    panoptic_grid_search: bool = True
+    # metric that selects the 'best' checkpoint: 'miou' (semantic) or
+    # 'pq' (panoptic; reference optimized_metric 'val/pq',
+    # configs/experiment/panoptic/s3dis.yaml:35)
+    monitor: str = 'miou'
 
     def __post_init__(self):
         if self.eval_batch_cfg is None:
@@ -63,6 +73,7 @@ class Trainer:
         self.logger = CSVLogger(osp.join(self.output_dir, 'metrics.csv'))
         self.best_miou = -1.0
         self.epoch = 0
+        self._partition_settings = None
 
     # -- checkpointing ---------------------------------------------------
     def _ckpt_dir(self, name):
@@ -138,11 +149,48 @@ class Trainer:
                     (epoch + 1) % self.check_val_every_n_epoch == 0
                     or epoch == self.max_epochs - 1):
                 vm = self.validate(state, val_loader)
-                if vm['miou'] > self.best_miou:
-                    self.best_miou = vm['miou']
+                if self._panoptic_due(epoch):
+                    vm = {**vm,
+                          **self.validate_panoptic(state, val_loader)}
+                score = vm.get(self.monitor, vm['miou'])
+                if score is not None and score > self.best_miou:
+                    self.best_miou = score
                     self.save_checkpoint(state, 'best')
             self.save_checkpoint(state, 'last')
         return state
+
+    def _panoptic_due(self, epoch):
+        """Instance partition + PQ runs on validation epochs that also
+        hit the partition cadence (reference needs_partition,
+        src/models/panoptic.py:498 + partition_every_n_epoch)."""
+        n = self.partition_every_n_epoch
+        if n is None or n <= 0:
+            return False
+        return ((epoch + 1) % n == 0 or epoch == self.max_epochs - 1)
+
+    def validate_panoptic(self, state, loader, split='val'):
+        """Panoptic validation epoch: instance partition on predictions
+        + PQ/mAP vs gt overlaps; logs to panoptic.csv. Grid-searches
+        the partition hyperparameters once, then reuses them."""
+        out = validate_panoptic(
+            self.task, state, loader, self.eval_batch_cfg,
+            self.task.num_classes, stuff_classes=self.stuff_classes,
+            grid_search=(self.panoptic_grid_search
+                         and self._partition_settings is None),
+            settings=self._partition_settings, seed=self.seed)
+        self._partition_settings = out.get('settings')
+        if not hasattr(self, '_panoptic_logger'):
+            self._panoptic_logger = CSVLogger(
+                osp.join(self.output_dir, 'panoptic.csv'))
+        row = {'epoch': self.epoch, 'split': split}
+        row.update({k: v for k, v in out.items()
+                    if isinstance(v, (int, float))})
+        self._panoptic_logger.log(row)
+        msg = ' '.join(f'{k}={v:.2f}' for k, v in out.items()
+                       if isinstance(v, float))
+        print(f"[epoch {self.epoch}] {split} panoptic {msg}")
+        return {k: v for k, v in out.items()
+                if isinstance(v, (int, float))}
 
     def validate(self, state, loader, split='val', tta_runs=0):
         """`tta_runs > 0` enables multi-run test-time augmentation:
@@ -243,7 +291,8 @@ def fit_partition(task, train_loader, batch_cfg, output_dir='outputs',
 
 
 def validate_panoptic(task, state, loader, batch_cfg, num_classes,
-                      stuff_classes=(), grid_search=False, seed=0):
+                      stuff_classes=(), grid_search=False, seed=0,
+                      settings=None):
     """Panoptic validation epoch (reference
     PanopticSegmentationModule._forward_partition + the epoch-end
     grid search, src/models/panoptic.py:498,952): per batch, run the
@@ -267,7 +316,8 @@ def validate_panoptic(task, state, loader, batch_cfg, num_classes,
     pq = PanopticQuality3D(num_classes, stuff_classes=stuff_classes)
     ap = MeanAveragePrecision3D(num_classes,
                                 stuff_classes=stuff_classes)
-    settings = dict(regularization=10.0, x_weight=5e-2, cutoff=1)
+    if settings is None:
+        settings = dict(regularization=10.0, x_weight=5e-2, cutoff=1)
     first = True
     for nags in loader:
         batch = prepare_batch(nags, batch_cfg, train=False)

@@ -125,10 +125,37 @@ def _instance_from_dense(cluster, obj, y, n_vox):
     return InstanceData(ptr, o_u, counts, y_u)
 
 
-def knn_search(data, k=45, r_max=2.0):
+def knn_search(data, k=45, r_max=2.0, backend='host'):
     """Fixed-radius KNN on the voxel centers (reference KNN transform,
     src/transforms/neighbors.py:11 over FRNN). Adds `neighbor_index`
-    (-1 padded) and `neighbor_distance`."""
+    (-1 padded) and `neighbor_distance`.
+
+    `backend='device'` routes through the jitted grid-hash kernel
+    (ops/device_preprocess.grid_knn_device) — the TPU path for
+    deployment hosts; cell size is derived from the point density so
+    the scan window covers the k nearest."""
+    if backend == 'device':
+        import jax.numpy as jnp
+        from ..ops.device_preprocess import grid_knn_device
+        pos = np.asarray(data.pos, np.float32)
+        n = pos.shape[0]
+        # density-derived cell size: ~4 points per cell on average,
+        # snapped to a power-of-two grid so compile buckets are reused
+        extent = np.maximum(pos.max(0) - pos.min(0), 1e-3)
+        vol = float(np.prod(extent))
+        h = (vol / max(n, 1) * 4.0) ** (1.0 / 3.0)
+        h = float(2.0 ** np.round(np.log2(max(h, 1e-4))))
+        reach = 3
+        cell_cap = 32
+        valid = np.ones(n, bool)
+        nbr, dist = grid_knn_device(
+            jnp.asarray(pos), jnp.asarray(valid),
+            float(min(r_max, h * reach)), int(k),
+            cell_cap=cell_cap, reach=reach, cell_size=h,
+            chunk=2048)  # bounds the [chunk, 343*cap] candidate tile
+        data['neighbor_index'] = np.asarray(nbr).astype(np.int64)
+        data['neighbor_distance'] = np.asarray(dist)
+        return data
     nbr, dist = radius_knn(data.pos, r=r_max, k=k, exclude_self=True)
     data['neighbor_index'] = nbr.astype(np.int64)
     data['neighbor_distance'] = dist
@@ -219,6 +246,15 @@ def ground_elevation(data, z_threshold=1.5, xy_grid=1.0, scale=4.0,
             (pos[:, 2] - ground_z) / scale).reshape(-1, 1).astype(
             np.float32)
         return data
+    if model == 'mlp':
+        # piecewise-planar ground surface z = f(x, y) fit with a tiny
+        # MLP on the ground candidates (reference mlp_model,
+        # src/utils/ground.py:219 — same normalization and L2 loss)
+        ground_z = _mlp_ground_fit(cand, pos, rng=rng)
+        data['elevation'] = (
+            (pos[:, 2] - ground_z) / scale).reshape(-1, 1).astype(
+            np.float32)
+        return data
     best_inliers, best_plane = -1, None
     n = cand.shape[0]
     for _ in range(iterations):
@@ -245,6 +281,66 @@ def ground_elevation(data, z_threshold=1.5, xy_grid=1.0, scale=4.0,
     elev = (pos @ nrm + d) * sign / scale
     data['elevation'] = elev.reshape(-1, 1).astype(np.float32)
     return data
+
+
+def _mlp_ground_fit(cand, pos, layers=(32, 16, 8), steps=500, lr=0.01,
+                    weight_decay=0.01, rng=None):
+    """Fit z = f(x, y) on ground candidates with a small tanh MLP
+    trained by Adam (host numpy — preprocessing stays off-device), and
+    predict the ground height under every point (reference mlp_model,
+    src/utils/ground.py:219: normalize by mean/std, L2 loss, full
+    batch). Returns ground z per point in original units."""
+    rng = rng or np.random.default_rng(0)
+    mean = cand.mean(0)
+    std = cand.std(0) + 1e-6
+    xy = ((cand[:, :2] - mean[:2]) / std[:2]).astype(np.float64)
+    z = ((cand[:, 2] - mean[2]) / std[2]).astype(np.float64)
+
+    dims = [2] + list(layers) + [1]
+    params = []
+    for i in range(len(dims) - 1):
+        w0 = rng.normal(0, np.sqrt(2.0 / dims[i]),
+                        (dims[i], dims[i + 1]))
+        params.append([w0, np.zeros(dims[i + 1])])
+
+    def forward(x, keep=None):
+        acts = [x]
+        for i, (w0, b) in enumerate(params):
+            x = x @ w0 + b
+            if i < len(params) - 1:
+                x = np.tanh(x)
+            acts.append(x)
+        return x[:, 0], acts
+
+    # Adam state
+    ms = [[np.zeros_like(w0), np.zeros_like(b)] for w0, b in params]
+    vs = [[np.zeros_like(w0), np.zeros_like(b)] for w0, b in params]
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    for t in range(1, steps + 1):
+        pred, acts = forward(xy)
+        err = (pred - z)[:, None] * (2.0 / xy.shape[0])
+        grads = []
+        g = err
+        for i in range(len(params) - 1, -1, -1):
+            w0, b = params[i]
+            a_in = acts[i]
+            gw = a_in.T @ g + weight_decay * w0
+            gb = g.sum(0)
+            grads.append((gw, gb))
+            if i > 0:
+                g = (g @ w0.T) * (1.0 - acts[i] ** 2)
+        grads = grads[::-1]
+        for i, ((gw, gb), (w0b, bb)) in enumerate(zip(grads, params)):
+            for j, gj in enumerate((gw, gb)):
+                ms[i][j] = b1 * ms[i][j] + (1 - b1) * gj
+                vs[i][j] = b2 * vs[i][j] + (1 - b2) * gj ** 2
+                mh = ms[i][j] / (1 - b1 ** t)
+                vh = vs[i][j] / (1 - b2 ** t)
+                params[i][j] -= lr * mh / (np.sqrt(vh) + eps)
+
+    q = ((pos[:, :2] - mean[:2]) / std[:2]).astype(np.float64)
+    pred, _ = forward(q)
+    return (pred * std[2] + mean[2]).astype(np.float32)
 
 
 def adjacency_graph(data, k=10, w=1.0):
@@ -598,6 +694,125 @@ def radius_horizontal_graph(
     return nag
 
 
+def delaunay_horizontal_graph(nag, n_max_edge=64, n_min=5,
+                              max_dist=-1, rng=None):
+    """Legacy horizontal graph from the dual of a Delaunay
+    triangulation of per-segment point samples (reference
+    DelaunayHorizontalGraph, src/transforms/graph.py:324 +
+    _horizontal_graph_by_delaunay :399). Slower, visibility-based
+    alternative to `radius_horizontal_graph`.
+
+    Per level >= 1: sample level-0 points near segment boundaries
+    (points touching inter-segment level-0 adjacency edges; whole
+    segments when isolated), triangulate the samples, keep the
+    tetrahedra edges that span two segments, trim to i<j, and compute
+    the 7-dim minimalistic features [mean_off | std_off | mean_dist].
+    `max_dist > 0` drops long edges but preserves each node's shortest
+    edge so distance filtering never isolates a node (reference
+    graph.py:356-361)."""
+    from scipy.spatial import Delaunay, QhullError
+
+    rng = rng or np.random.default_rng(0)
+    mds = list(np.atleast_1d(max_dist).astype(np.float64))
+    while len(mds) < nag.absolute_num_levels - 1:
+        mds.append(mds[-1])
+    pos0 = nag[0].pos
+    n0 = pos0.shape[0]
+    for i_level in range(1, nag.absolute_num_levels):
+        d = nag[i_level]
+        num_seg = d.num_nodes
+        if num_seg < 2:
+            d['edge_index'] = np.zeros((2, 0), dtype=np.int64)
+            d['edge_attr'] = np.zeros((0, 7), dtype=np.float32)
+            continue
+        sup = nag.get_super_index(i_level, low=0)
+        # guided sampling: points on inter-segment level-0 edges;
+        # isolated segments contribute all their points
+        mask = np.ones(n0, dtype=bool)
+        ei0 = nag[0].get('edge_index')
+        if ei0 is not None and ei0.shape[1] > 0:
+            s0, t0 = sup[ei0[0]], sup[ei0[1]]
+            inter = s0 != t0
+            mask = np.zeros(n0, dtype=bool)
+            mask[np.unique(ei0[:, inter])] = True
+            seg_has = np.zeros(num_seg, dtype=bool)
+            seg_has[s0[inter]] = True
+            seg_has[t0[inter]] = True
+            mask |= ~seg_has[sup]
+        cand = np.flatnonzero(mask)
+        local, _ = _sample_per_segment(
+            sup[cand], num_seg, n_max_edge, n_min, rng)
+        samples = cand[local]
+        pts = pos0[samples].astype(np.float64)
+        pts = pts + rng.normal(0, 1e-9, pts.shape)
+        try:
+            tri = Delaunay(pts, qhull_options='QJ')
+        except (QhullError, ValueError):
+            d['edge_index'] = np.zeros((2, 0), dtype=np.int64)
+            d['edge_attr'] = np.zeros((0, 7), dtype=np.float32)
+            continue
+        simp = tri.simplices
+        pairs = [(a, b) for a in range(simp.shape[1])
+                 for b in range(a + 1, simp.shape[1])]
+        src_pt = np.concatenate([simp[:, a] for a, b in pairs])
+        dst_pt = np.concatenate([simp[:, b] for a, b in pairs])
+        ss, tt = sup[samples[src_pt]], sup[samples[dst_pt]]
+        cross = ss != tt
+        src_pt, dst_pt = src_pt[cross], dst_pt[cross]
+        ss, tt = ss[cross], tt[cross]
+        if ss.shape[0] == 0:
+            d['edge_index'] = np.zeros((2, 0), dtype=np.int64)
+            d['edge_attr'] = np.zeros((0, 7), dtype=np.float32)
+            continue
+        off = (pos0[samples[dst_pt]]
+               - pos0[samples[src_pt]]).astype(np.float64)
+        dd = np.linalg.norm(off, axis=1)
+        flip = ss > tt
+        s2, t2 = ss.copy(), tt.copy()
+        s2[flip], t2[flip] = tt[flip], ss[flip]
+        off[flip] = -off[flip]
+        pair_key = s2.astype(np.int64) * num_seg + t2
+        uniq, inv = np.unique(pair_key, return_inverse=True)
+        n_pairs = uniq.shape[0]
+        cnt = np.bincount(inv).astype(np.float64)
+        mean_off = np.zeros((n_pairs, 3))
+        np.add.at(mean_off, inv, off)
+        mean_off /= cnt[:, None]
+        var = np.zeros((n_pairs, 3))
+        np.add.at(var, inv, (off - mean_off[inv]) ** 2)
+        std_off = np.sqrt(var / np.maximum(cnt - 1, 1)[:, None])
+        mean_dist = np.zeros(n_pairs)
+        np.add.at(mean_dist, inv, dd)
+        mean_dist /= cnt
+        se = np.stack([uniq // num_seg, uniq % num_seg])
+        md = mds[i_level - 1]
+        if md > 0:
+            keep = mean_dist <= md
+            # preserve the shortest edge of any node the filter would
+            # isolate
+            for side in (0, 1):
+                ids = se[side]
+                kept_deg = np.bincount(ids[keep], minlength=num_seg)
+                lost = np.isin(ids, np.flatnonzero(
+                    (np.bincount(ids, minlength=num_seg) > 0)
+                    & (kept_deg == 0)))
+                if lost.any():
+                    order = np.lexsort((mean_dist, ids))
+                    first = np.ones(order.shape[0], dtype=bool)
+                    first[1:] = ids[order][1:] != ids[order][:-1]
+                    shortest = np.zeros(ids.shape[0], dtype=bool)
+                    shortest[order[first]] = True
+                    keep |= lost & shortest
+            se = se[:, keep]
+            mean_off, std_off = mean_off[keep], std_off[keep]
+            mean_dist = mean_dist[keep]
+        d['edge_index'] = se.astype(np.int64)
+        d['edge_attr'] = np.concatenate(
+            [mean_off, std_off, mean_dist.reshape(-1, 1)],
+            1).astype(np.float32)
+    return nag
+
+
 def _cap_degree(se, score, num_seg, k_max, k_min):
     """Degree cap: an edge survives if it ranks within the k_max
     closest (by score) for BOTH endpoints, or within the k_min closest
@@ -618,7 +833,8 @@ def _cap_degree(se, score, num_seg, k_max, k_min):
 
 
 def preprocess_cloud(
-        data, voxel=0.03, knn=45, knn_r=2.0, num_classes=13,
+        data, voxel=0.03, knn=45, knn_r=2.0, knn_step=-1,
+        knn_min_search=25, num_classes=13,
         partition_hf=('rgb', 'linearity', 'planarity', 'scattering',
                       'verticality', 'elevation'),
         point_hf_preprocess=('linearity', 'planarity', 'scattering',
@@ -629,6 +845,11 @@ def preprocess_cloud(
         graph_k_min=1, graph_k_max=30, graph_gap=(0.2, 0.5, 1.0),
         ground_threshold=1.5, ground_scale=4.0,
         segment_mean_hf=(), segment_std_hf=(), rng=None,
+        partition_mode='cut_pursuit', pretrained_cnn_ckpt_path=None,
+        pretrained_cnn_channels=(32, 32, 32), contour_prior_reg=2e-2,
+        contour_prior_min_size=(5, 30, 90),
+        contour_prior_edge_weight_mode='exp_neg_latent_distance',
+        contour_prior_k_isolated=5,
         verbose=False):
     """Full raw-cloud -> NAG preprocessing (the reference
     `pre_transform` chain). `verbose=True` prints per-stage wall
@@ -645,7 +866,9 @@ def preprocess_cloud(
     with t.track('knn_search'):
         data = knn_search(data, k=knn, r_max=knn_r)
     with t.track('point_features'):
-        data = point_features(data, keys=point_hf_preprocess)
+        data = point_features(data, keys=point_hf_preprocess,
+                              k_step=knn_step,
+                              k_min_search=knn_min_search)
     with t.track('ground_elevation'):
         data = ground_elevation(data, z_threshold=ground_threshold,
                                 scale=ground_scale, rng=rng)
@@ -655,11 +878,31 @@ def preprocess_cloud(
         data = connect_isolated(data, k=1)
         data = add_keys_to(data, list(partition_hf), to='x',
                            delete_after=False)
-    with t.track('cut_pursuit_partition'):
-        nag = cut_pursuit_partition(
-            data, regularization=pcp_regularization,
-            spatial_weight=pcp_spatial_weight, cutoff=pcp_cutoff,
-            k_adjacency=pcp_k_adjacency)
+    if partition_mode == 'contour_prior':
+        # EZ-SP stage 2 (reference PretrainedCNN +
+        # GreedyContourPriorPartition, src/transforms/point.py:630,
+        # partition.py:383): frozen stage-1 CNN embeddings replace the
+        # handcrafted partition features, then greedy contour-prior
+        # merging replaces cut-pursuit
+        if pretrained_cnn_ckpt_path:
+            with t.track('pretrained_cnn'):
+                data = quantize_coordinates(data, size=voxel)
+                data = pretrained_cnn_features(
+                    data, ckpt_path=pretrained_cnn_ckpt_path,
+                    channels=pretrained_cnn_channels, voxel=voxel,
+                    key='x', out_key='x')
+        with t.track('greedy_contour_prior_partition'):
+            nag = greedy_contour_prior_partition(
+                data, reg=contour_prior_reg,
+                min_size=contour_prior_min_size,
+                edge_weight_mode=contour_prior_edge_weight_mode,
+                k=contour_prior_k_isolated)
+    else:
+        with t.track('cut_pursuit_partition'):
+            nag = cut_pursuit_partition(
+                data, regularization=pcp_regularization,
+                spatial_weight=pcp_spatial_weight, cutoff=pcp_cutoff,
+                k_adjacency=pcp_k_adjacency)
     for i in nag.levels:
         nag[i]._store.pop('x', None)
     with t.track('segment_features'):
@@ -671,7 +914,7 @@ def preprocess_cloud(
             rng=rng)
     # drop working keys not saved by the reference either
     for k in ('neighbor_index', 'neighbor_distance', 'edge_index',
-              'edge_attr', 'node_size', 'grid_size'):
+              'edge_attr', 'node_size', 'grid_size', 'coords'):
         nag[0]._store.pop(k, None)
     if verbose:
         print(t.summary(), flush=True)

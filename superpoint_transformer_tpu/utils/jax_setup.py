@@ -13,3 +13,12 @@ def setup_jax(cache_dir=None):
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update('jax_compilation_cache_dir', cache_dir)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
+    # If an earlier import (e.g. a PJRT-plugin sitecustomize) already
+    # triggered a compile, jax latched its once-per-process "cache
+    # used?" check to False BEFORE the cache dir above existed —
+    # silently disabling persistent caching. Reset the latch.
+    try:
+        from jax._src import compilation_cache as _cc
+        _cc.reset_cache()
+    except Exception:
+        pass

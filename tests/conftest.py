@@ -21,7 +21,15 @@ import jax  # noqa: E402
 _CACHE = '/tmp/jax_cache_cpu'
 os.makedirs(_CACHE, exist_ok=True)
 jax.config.update('jax_compilation_cache_dir', _CACHE)
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+# sitecustomize (axon) imports jax and can trigger a compile BEFORE
+# this file runs; that latches jax's once-per-process "is the cache
+# used?" check to False (jax._src.compilation_cache.is_cache_used)
+# and silently disables the cache for the whole pytest process. Reset
+# the latch now that the cache dir is configured.
+from jax._src import compilation_cache as _cc  # noqa: E402
+_cc.reset_cache()
 
 import pytest  # noqa: E402
 

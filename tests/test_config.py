@@ -73,3 +73,41 @@ def test_build_task_and_batch_config():
     assert bc.num_classes == 13
     assert 'rgb' in bc.point_hf
     assert len(bc.edge_hf) == 12
+
+
+def _all_experiments():
+    import glob
+    out = []
+    for p in glob.glob(osp.join(CONFIG_DIR, 'experiment', '*', '*.yaml')):
+        group = osp.basename(osp.dirname(p))
+        name = osp.splitext(osp.basename(p))[0]
+        out.append(f'{group}/{name}')
+    return sorted(out)
+
+
+@pytest.mark.parametrize('exp', _all_experiments())
+def test_every_experiment_composes_and_builds(exp):
+    """Sweep over ALL experiment configs (analogue of reference
+    tests/test_sweeps.py): each must compose, resolve, and build its
+    batch config + task without errors."""
+    cfg = load_config(CONFIG_DIR, 'train', [f'experiment={exp}'])
+    bc = build_batch_config(cfg)
+    assert bc.num_classes == int(cfg.datamodule.num_classes) > 0
+    task = build_task(cfg, total_steps=10)
+    assert task.num_classes == bc.num_classes
+    task_type = str(cfg.model.get('task', 'semantic'))
+    if exp.startswith('panoptic/'):
+        assert task_type == 'panoptic'
+        assert bc.instance, exp
+        assert tuple(task.stuff_classes) == tuple(
+            cfg.datamodule.get('stuff_classes', ()))
+    if exp.startswith('partition/'):
+        assert task_type == 'partition'
+    if 'nano' in exp:
+        assert cfg.datamodule.nano
+        assert cfg.model.net.nano
+    if '11g' in exp:
+        assert int(cfg.trainer.accumulate_grad_batches) == 2
+        assert task.accumulate_grad_batches == 2
+    if 'ezsp' in exp and exp.startswith('semantic/'):
+        assert str(cfg.datamodule.partition_mode) == 'contour_prior'

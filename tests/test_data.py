@@ -146,3 +146,67 @@ def test_batch_and_sort_and_pad():
     orig = set(zip(big[1].edge_index[0].tolist(),
                    big[1].edge_index[1].tolist()))
     assert recon == orig
+
+
+def test_convert_nag_v2_to_v3(tmp_path):
+    """The v2->v3 converter reads the legacy `partition_<i>` layout
+    (plain + _csr_ + _cluster_ + _instance_data_ groups, reference
+    convert_nag_v2_to_v3.py) and writes a v3 file our NAG.load reads
+    back unchanged."""
+    import h5py
+    from superpoint_transformer_tpu.data import NAG
+    from superpoint_transformer_tpu.data.io import (
+        save_array, save_dense_to_csr)
+    from superpoint_transformer_tpu.utils.backwards_compatibility import (
+        convert_nag_v2_to_v3)
+
+    rng = np.random.default_rng(0)
+    n0, n1 = 40, 5
+    pos0 = rng.normal(size=(n0, 3)).astype(np.float32)
+    rgb0 = rng.integers(0, 255, (n0, 3)).astype(np.uint8)
+    super_index = np.sort(rng.integers(0, n1, n0)).astype(np.int64)
+    y1 = np.zeros((n1, 4), np.int64)
+    for i, s in enumerate(super_index):
+        y1[s, i % 4] += 1
+    # cluster CSR: points of each level-1 segment
+    order = np.argsort(super_index, kind='stable')
+    counts = np.bincount(super_index, minlength=n1)
+    ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    # instance data on level 1
+    iptr = np.arange(n1 + 1, dtype=np.int64)
+    iobj = rng.integers(0, 3, n1).astype(np.int64)
+    icnt = rng.integers(1, 50, n1).astype(np.int64)
+    iy = rng.integers(0, 4, n1).astype(np.int64)
+
+    p = tmp_path / 'nag_v2.h5'
+    with h5py.File(p, 'w') as f:
+        g0 = f.create_group('partition_0')
+        save_array(pos0, g0, 'pos')
+        save_array(rgb0, g0, 'rgb')
+        save_array(super_index, g0, 'super_index')
+        g1 = f.create_group('partition_1')
+        pos1 = rng.normal(size=(n1, 3)).astype(np.float32)
+        save_array(pos1, g1, 'pos')
+        save_dense_to_csr(y1, g1.create_group('_csr_/y'))
+        cg = g1.create_group('_cluster_/sub')
+        save_array(ptr, cg, 'pointers')
+        save_array(order.astype(np.int64), cg, 'points')
+        ig = g1.create_group('_instance_data_/obj')
+        save_array(iptr, ig, 'pointers')
+        for i, v in enumerate((iobj, icnt, iy)):
+            save_array(v, ig, str(i))
+        # batch bookkeeping keys the converter must drop
+        f.create_dataset('partition_0/_num_graphs', data=np.array([1]))
+
+    out = convert_nag_v2_to_v3(str(p))
+    nag = NAG.load(out)
+    assert nag.num_levels == 2
+    np.testing.assert_allclose(nag[0].pos, pos0, atol=1e-6)
+    np.testing.assert_array_equal(nag[0].rgb, rgb0)
+    np.testing.assert_array_equal(nag[0].super_index, super_index)
+    np.testing.assert_array_equal(np.asarray(nag[1].y), y1)
+    np.testing.assert_array_equal(nag[1].sub.pointers, ptr)
+    np.testing.assert_array_equal(nag[1].sub.points, order)
+    np.testing.assert_array_equal(nag[1].obj.obj, iobj)
+    np.testing.assert_array_equal(nag[1].obj.count, icnt)
+    np.testing.assert_array_equal(nag[1].obj.y, iy)

@@ -1,0 +1,117 @@
+"""Device-side preprocessing kernels (ops/device_preprocess): jitted
+voxelization and grid-hash KNN must match the host-side reference
+implementations (transforms.preprocess.grid_sampling, ops.native
+radius_knn)."""
+import numpy as np
+import jax.numpy as jnp
+
+from superpoint_transformer_tpu.ops.device_preprocess import (
+    voxelize_device, grid_knn_device)
+from superpoint_transformer_tpu.ops.native import radius_knn
+
+
+def _cloud(n=500, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(-1, 2, (n, 3)).astype(np.float32)
+    feats = rng.normal(size=(n, 4)).astype(np.float32)
+    return pos, feats
+
+
+def test_voxelize_device_matches_host_grouping():
+    pos, feats = _cloud()
+    n = pos.shape[0]
+    # pad the input the way the device path expects
+    cap_in = 512
+    pad = cap_in - n
+    pos_p = np.pad(pos, ((0, pad), (0, 0)))
+    feats_p = np.pad(feats, ((0, pad), (0, 0)))
+    valid = np.zeros(cap_in, bool)
+    valid[:n] = True
+    size = 0.3
+    out = voxelize_device(jnp.asarray(pos_p), jnp.asarray(feats_p),
+                          jnp.asarray(valid), size, voxel_cap=512)
+    nv = int(out['num_voxels'])
+    sup = np.asarray(out['super_index'])[:n]
+    # host reference grouping
+    cell = np.floor(pos / size).astype(np.int64)
+    cell -= cell.min(0)
+    key = (cell[:, 0] * 1 << 42) + (cell[:, 1] << 21) + cell[:, 2]
+    uniq, inv = np.unique(key, return_inverse=True)
+    assert nv == uniq.shape[0]
+    # same partition of points (voxel ids may be permuted)
+    remap = {}
+    for i in range(n):
+        remap.setdefault(sup[i], set()).add(inv[i])
+    assert all(len(v) == 1 for v in remap.values())
+    assert len(remap) == nv
+    # per-voxel means match
+    pos_mean = np.asarray(out['pos_mean'])
+    counts = np.asarray(out['counts'])
+    for v_dev in list(remap)[:20]:
+        members = np.where(sup == v_dev)[0]
+        np.testing.assert_allclose(
+            pos_mean[v_dev], pos[members].mean(0), rtol=1e-5,
+            atol=1e-6)
+        assert counts[v_dev] == members.shape[0]
+    # padding voxels have zero counts
+    assert counts[nv:].sum() == 0
+    # padded input points map to -1
+    assert (np.asarray(out['super_index'])[n:] == -1).all()
+
+
+def test_grid_knn_device_matches_native():
+    pos, _ = _cloud(n=400, seed=1)
+    r, k = 0.4, 8
+    nbr_ref, dist_ref = radius_knn(pos, r=r, k=k, exclude_self=True)
+    valid = np.ones(pos.shape[0], bool)
+    nbr, dist = grid_knn_device(
+        jnp.asarray(pos), jnp.asarray(valid), r, k,
+        cell_cap=64, chunk=128)
+    nbr, dist = np.asarray(nbr), np.asarray(dist)
+    for i in range(0, 400, 23):
+        d_ref = dist_ref[i][nbr_ref[i] >= 0]
+        d_dev = dist[i][nbr[i] >= 0]
+        assert d_dev.shape == d_ref.shape, i
+        np.testing.assert_allclose(d_dev, d_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_grid_knn_device_respects_validity_and_radius():
+    pos, _ = _cloud(n=100, seed=2)
+    valid = np.ones(100, bool)
+    valid[50:] = False
+    nbr, dist = grid_knn_device(
+        jnp.asarray(pos), jnp.asarray(valid), 0.5, 6,
+        cell_cap=64, chunk=128)
+    nbr, dist = np.asarray(nbr), np.asarray(dist)
+    # invalid queries return no neighbors
+    assert (nbr[50:] == -1).all()
+    # invalid points never appear as neighbors
+    assert nbr.max() < 50
+    ok = nbr >= 0
+    assert (dist[ok] <= 0.5 + 1e-6).all()
+    # self never returned
+    q = np.broadcast_to(np.arange(100)[:, None], nbr.shape)
+    assert not (nbr == q).any()
+
+
+def test_knn_search_device_backend():
+    """The device KNN backend fills neighbor_index/neighbor_distance
+    with the same near-neighbors as the host path for realistic
+    (dense, small-radius) neighborhoods."""
+    from superpoint_transformer_tpu.data import Data
+    from superpoint_transformer_tpu.transforms.preprocess import (
+        knn_search)
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(0, 2, (600, 3)).astype(np.float32)
+    d_host = knn_search(Data(pos=pos.copy()), k=8, r_max=1.0)
+    d_dev = knn_search(Data(pos=pos.copy()), k=8, r_max=1.0,
+                       backend='device')
+    nh, nd = d_host.neighbor_index, d_dev.neighbor_index
+    dh, dd = d_host.neighbor_distance, d_dev.neighbor_distance
+    assert nd.shape == nh.shape
+    # the nearest neighbor must agree everywhere; the full k-set must
+    # agree wherever the host neighbors are within the device window
+    both = (nh[:, 0] >= 0) & (nd[:, 0] >= 0)
+    assert both.mean() > 0.99
+    np.testing.assert_allclose(dd[both, 0], dh[both, 0],
+                               rtol=1e-4, atol=1e-5)

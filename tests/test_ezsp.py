@@ -147,3 +147,70 @@ def test_prepare_partition_batch_and_fit(tmp_path):
                           output_dir=str(tmp_path), max_epochs=2)
     assert int(state.step) == 2
     assert (tmp_path / 'metrics.csv').exists()
+
+
+def test_ezsp_two_stage_end_to_end(tmp_path):
+    """Full EZ-SP recipe: stage 1 trains the CNN embedding
+    (fit_partition -> orbax ckpt), stage 2 preprocesses with
+    partition_mode='contour_prior' + the frozen stage-1 CNN
+    (reference PretrainedCNN -> GreedyContourPriorPartition,
+    src/transforms/point.py:630 + partition.py:383), and the
+    resulting NAG trains a SemanticTask step."""
+    import jax
+    from superpoint_transformer_tpu.transforms.prepare import (
+        BatchConfig, prepare_batch)
+    from superpoint_transformer_tpu.transforms.preprocess import (
+        preprocess_cloud)
+    from superpoint_transformer_tpu.trainer import fit_partition
+    from superpoint_transformer_tpu.models.partition import (
+        PartitionModel, PartitionTask)
+    from superpoint_transformer_tpu.models.semantic import SemanticTask
+    from superpoint_transformer_tpu.utils.synthetic import random_nag
+    from tests.test_preprocess import synthetic_scene
+    from tests.test_train import tiny_model
+
+    # ---- stage 1: train the partition CNN on synthetic NAGs
+    nags = [random_nag(seed=s, n_points=400) for s in range(2)]
+
+    class _Loader:
+        def __iter__(self):
+            yield [n.clone() for n in nags]
+
+    cfg1 = BatchConfig(num_classes=13, point_hf=('rgb',))
+    task1 = PartitionTask(net=PartitionModel(channels=(8, 8, 8),
+                                             num_graphs=2),
+                          num_classes=13, lr=1e-3, total_steps=4)
+    fit_partition(task1, _Loader(), cfg1, output_dir=str(tmp_path),
+                  max_epochs=2)
+    ckpt = str(tmp_path / 'checkpoints' / 'last')
+
+    # ---- stage 2: preprocessing with the learned partition
+    data = synthetic_scene()
+    nag = preprocess_cloud(
+        data, voxel=0.1, knn=12, knn_r=1.0, num_classes=3,
+        partition_hf=('rgb',),
+        point_hf_preprocess=('linearity', 'planarity', 'normal'),
+        partition_mode='contour_prior',
+        pretrained_cnn_ckpt_path=ckpt,
+        pretrained_cnn_channels=(8, 8, 8),
+        contour_prior_reg=2e-2,
+        contour_prior_min_size=(5, 30),
+        graph_gap=(0.5, 1.0))
+    assert nag.num_levels == 3  # P0 + 2 partition levels
+    assert nag[1].num_nodes < nag[0].num_nodes
+    # partition levels carry label histograms + horizontal graphs
+    assert nag[1].y.ndim == 2
+    assert nag[1].edge_index is not None
+
+    # ---- the stage-2 NAG trains a semantic step
+    cfg2 = BatchConfig(num_classes=3, sample_graph_r=-1,
+                       sample_segment_ratio=0,
+                       point_hf=('rgb', 'linearity', 'planarity',
+                                 'elevation'))
+    batch = prepare_batch([nag], cfg2, train=False)
+    task2 = SemanticTask(net=tiny_model(num_graphs=1), num_classes=3,
+                         total_steps=4, warmup_steps=1)
+    state = task2.init_state(jax.random.PRNGKey(0), batch)
+    state, metrics = task2.train_step(state, batch,
+                                      jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics['loss']))

@@ -226,3 +226,41 @@ def test_validate_panoptic_epoch():
                             num_classes=13)
     assert np.isfinite(out['pq'])
     assert 'map_50' in out
+
+
+def test_trainer_fit_panoptic(tmp_path):
+    """Trainer.fit with a PanopticTask runs the instance-partition +
+    PQ validation on the partition cadence, logs panoptic.csv, and
+    selects the best checkpoint by the monitored PQ (reference
+    partition_every_n_epoch + optimized_metric 'val/pq')."""
+    import jax
+    from superpoint_transformer_tpu.trainer import Trainer
+    from superpoint_transformer_tpu.transforms.prepare import (
+        BatchConfig, prepare_batch, discover_caps)
+    from superpoint_transformer_tpu.utils.synthetic import random_nag
+    from tests.test_trainer_fit import tiny_model, _Loader
+
+    nags = [random_nag(seed=s, n_points=300, with_instances=True)
+            for s in range(2)]
+    cfg = BatchConfig(sample_graph_r=-1, sample_segment_ratio=0,
+                      instance=True, max_num_nodes=10_000)
+    cfg = discover_caps([nags], cfg, rng=np.random.default_rng(0))
+    task = PanopticTask(net=tiny_model(), num_classes=13,
+                        total_steps=10, warmup_steps=1)
+    trainer = Trainer(task=task, batch_cfg=cfg,
+                      output_dir=str(tmp_path), max_epochs=1,
+                      check_val_every_n_epoch=1,
+                      partition_every_n_epoch=1, monitor='pq',
+                      panoptic_grid_search=False)
+    example = prepare_batch([n.clone() for n in nags], cfg,
+                            train=True, rng=np.random.default_rng(0))
+    state = task.init_state(jax.random.PRNGKey(0), example)
+    state = trainer.fit(state, _Loader(nags), val_loader=_Loader(nags))
+
+    pan = (tmp_path / 'panoptic.csv').read_text()
+    assert 'pq' in pan.splitlines()[0]
+    assert len(pan.splitlines()) >= 2
+    # best checkpoint selected by PQ (monitor) and settings cached
+    assert trainer.best_miou >= 0
+    assert trainer._partition_settings is not None
+    assert (tmp_path / 'checkpoints' / 'best').exists()

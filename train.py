@@ -82,13 +82,25 @@ def main(argv=None):
                    for p in jax.tree_util.tree_leaves(state.params))
     print(f'model parameters: {n_params:,}')
 
+    # SuperCluster: run the instance partition + PQ on the partition
+    # cadence and select the best checkpoint by PQ (reference
+    # optimized_metric 'val/pq')
+    panoptic_kwargs = {}
+    if str(cfg.model.get('task', 'semantic')) == 'panoptic':
+        panoptic_kwargs = dict(
+            partition_every_n_epoch=int(
+                cfg.model.get('partition_every_n_epoch', 50)),
+            stuff_classes=tuple(
+                cfg.datamodule.get('stuff_classes', ())),
+            monitor='pq')
+
     trainer = Trainer(
         task=task, batch_cfg=batch_cfg, eval_batch_cfg=eval_batch_cfg,
         output_dir=str(cfg.get('output_dir', 'outputs')),
         max_epochs=max_epochs,
         check_val_every_n_epoch=int(
             cfg.trainer.check_val_every_n_epoch),
-        seed=seed)
+        seed=seed, **panoptic_kwargs)
     if cfg.get('ckpt_path'):
         state = trainer.load_checkpoint(state, cfg.ckpt_path)
     state = trainer.fit(state, train_loader, val_loader)
