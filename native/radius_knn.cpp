@@ -100,17 +100,39 @@ extern "C" void spt_radius_knn(
     const double r2 = std::isfinite(r) ? r * r : INF;
     const int64_t max_ring = std::isfinite(r)
         ? (int64_t)std::ceil(r * inv) + 1
-        : (int64_t)1e9;
+        : std::numeric_limits<int64_t>::max();
+
+    // populated-cell bounding box: shells are clipped to it, so
+    // degenerate data (collinear/planar clouds collapse the adaptive
+    // cell) and queries far outside the cloud stay cheap instead of
+    // scanning O(ring^2) empty cells per shell
+    const int64_t clo[3] = {(int64_t)std::floor(lo[0] * inv),
+                            (int64_t)std::floor(lo[1] * inv),
+                            (int64_t)std::floor(lo[2] * inv)};
+    const int64_t chi[3] = {(int64_t)std::floor(hi[0] * inv),
+                            (int64_t)std::floor(hi[1] * inv),
+                            (int64_t)std::floor(hi[2] * inv)};
 
     for (int64_t q = 0; q < n_query; ++q) {
         const float qx = xyz_query[q * 3], qy = xyz_query[q * 3 + 1],
                     qz = xyz_query[q * 3 + 2];
-        const int64_t cx = (int64_t)std::floor(qx * inv),
-                      cy = (int64_t)std::floor(qy * inv),
-                      cz = (int64_t)std::floor(qz * inv);
+        const int64_t c[3] = {(int64_t)std::floor(qx * inv),
+                              (int64_t)std::floor(qy * inv),
+                              (int64_t)std::floor(qz * inv)};
         Heap heap((size_t)k);
 
-        for (int64_t ring = 0; ring <= max_ring; ++ring) {
+        // box bounds relative to the query cell; no populated cell
+        // lies beyond Chebyshev distance `reach`
+        int64_t blo[3], bhi[3], reach = 0;
+        for (int d = 0; d < 3; ++d) {
+            blo[d] = clo[d] - c[d];
+            bhi[d] = chi[d] - c[d];
+            reach = std::max(reach, (int64_t)std::max(
+                std::llabs(blo[d]), std::llabs(bhi[d])));
+        }
+        const int64_t ring_end = std::min(max_ring, reach);
+
+        for (int64_t ring = 0; ring <= ring_end; ++ring) {
             // stop when the k-th best is closer than the nearest
             // possible point in this shell
             if (ring > 0) {
@@ -118,27 +140,40 @@ extern "C" void spt_radius_knn(
                 if (shell_min * shell_min > heap.worst()) break;
                 if (shell_min * shell_min > r2) break;
             }
-            // iterate the Chebyshev shell |max(dx,dy,dz)| == ring
-            for (int64_t dx = -ring; dx <= ring; ++dx)
-                for (int64_t dy = -ring; dy <= ring; ++dy) {
-                    const bool face_xy = (std::llabs(dx) == ring
-                                          || std::llabs(dy) == ring);
-                    int64_t dz_step = face_xy ? 1 : 2 * ring;
-                    if (dz_step == 0) dz_step = 1;
-                    for (int64_t dz = -ring; dz <= ring; dz += dz_step) {
-                        auto it = grid.find({cx + dx, cy + dy, cz + dz});
-                        if (it == grid.end()) continue;
-                        for (int32_t i : it->second) {
-                            if (exclude_self && (int64_t)i == q)
-                                continue;
-                            const double ddx = xyz_search[i * 3] - qx;
-                            const double ddy = xyz_search[i * 3 + 1] - qy;
-                            const double ddz = xyz_search[i * 3 + 2] - qz;
-                            const double d2 =
-                                ddx * ddx + ddy * ddy + ddz * ddz;
-                            if (d2 <= r2)
-                                heap.push((float)d2, i);
-                        }
+            // iterate the Chebyshev shell |max(dx,dy,dz)| == ring,
+            // clipped to the populated box
+            const int64_t x0 = std::max(-ring, blo[0]),
+                          x1 = std::min(ring, bhi[0]);
+            const int64_t y0 = std::max(-ring, blo[1]),
+                          y1 = std::min(ring, bhi[1]);
+            const int64_t z0 = std::max(-ring, blo[2]),
+                          z1 = std::min(ring, bhi[2]);
+            if (x0 > x1 || y0 > y1 || z0 > z1) continue;
+            auto visit = [&](int64_t dx, int64_t dy, int64_t dz) {
+                auto it = grid.find({c[0] + dx, c[1] + dy, c[2] + dz});
+                if (it == grid.end()) return;
+                for (int32_t i : it->second) {
+                    if (exclude_self && (int64_t)i == q)
+                        continue;
+                    const double ddx = xyz_search[i * 3] - qx;
+                    const double ddy = xyz_search[i * 3 + 1] - qy;
+                    const double ddz = xyz_search[i * 3 + 2] - qz;
+                    const double d2 = ddx * ddx + ddy * ddy + ddz * ddz;
+                    if (d2 <= r2)
+                        heap.push((float)d2, i);
+                }
+            };
+            for (int64_t dx = x0; dx <= x1; ++dx)
+                for (int64_t dy = y0; dy <= y1; ++dy) {
+                    if (std::llabs(dx) == ring
+                        || std::llabs(dy) == ring) {
+                        for (int64_t dz = z0; dz <= z1; ++dz)
+                            visit(dx, dy, dz);
+                    } else {
+                        if (-ring >= z0 && -ring <= z1)
+                            visit(dx, dy, -ring);
+                        if (ring > 0 && ring >= z0 && ring <= z1)
+                            visit(dx, dy, ring);
                     }
                 }
         }

@@ -46,6 +46,29 @@ def test_radius_knn_vs_bruteforce():
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_radius_knn_degenerate_inf_radius():
+    """Collinear points + r=inf + a query far outside the cloud: the
+    adaptive grid degenerates to tiny cells, and the shell scan must
+    clip to the populated box instead of walking empty space
+    (regression: this case used to hang for minutes)."""
+    import time
+    n = 2000
+    pts = np.zeros((n, 3), np.float32)
+    pts[:, 0] = np.linspace(0.0, 50.0, n)
+    q = np.array([[500.0, 0.0, 0.0]], np.float32)
+    t0 = time.perf_counter()
+    nbr, dist = radius_knn(pts, q, r=np.inf, k=4, exclude_self=False)
+    assert time.perf_counter() - t0 < 5.0
+    # nearest points are the tail of the line
+    assert set(nbr[0].tolist()) == {n - 1, n - 2, n - 3, n - 4}
+    np.testing.assert_allclose(dist[0][0], 450.0, rtol=1e-5)
+    # self-search on the same degenerate line stays correct
+    nbr2, dist2 = radius_knn(pts, r=np.inf, k=2, exclude_self=True)
+    step = 50.0 / (n - 1)
+    assert (nbr2 >= 0).all()
+    np.testing.assert_allclose(dist2[:, 0], step, rtol=1e-3)
+
+
 def test_greedy_cut_separates_components():
     """Two clusters with distinct features and a weak bridge edge:
     the solver must cut the bridge."""
@@ -181,3 +204,59 @@ def test_preprocessed_nag_roundtrip_and_forward(tmp_path):
     variables = model.init(jax.random.PRNGKey(0), batch, train=False)
     outs = model.apply(variables, batch, train=False)
     assert np.isfinite(np.asarray(outs[0])).all()
+
+
+def test_ground_models_on_tilted_plane():
+    """All three ground models (ransac / knn / mlp — reference
+    src/utils/ground.py:100,154,219) recover a tilted ground plane:
+    ground points get ~zero elevation, a raised object gets positive
+    elevation."""
+    from superpoint_transformer_tpu.transforms.preprocess import (
+        ground_elevation)
+    rng = np.random.default_rng(0)
+    n = 3000
+    xy = rng.uniform(0, 10, (n, 2)).astype(np.float32)
+    z = 0.1 * xy[:, 0] - 0.05 * xy[:, 1] \
+        + rng.normal(0, 0.01, n).astype(np.float32)
+    # a box floating 3m above the ground
+    m = 400
+    bxy = rng.uniform(4, 6, (m, 2)).astype(np.float32)
+    bz = 0.1 * bxy[:, 0] - 0.05 * bxy[:, 1] + 3.0
+    pos = np.concatenate([
+        np.column_stack([xy, z]),
+        np.column_stack([bxy, bz])]).astype(np.float32)
+    for model in ('ransac', 'knn', 'mlp'):
+        data = Data(pos=pos.copy())
+        data = ground_elevation(data, z_threshold=1.0, xy_grid=0.5,
+                                scale=1.0, model=model)
+        elev = data['elevation'][:, 0]
+        assert np.abs(elev[:n]).mean() < 0.25, model
+        assert elev[n:].mean() > 2.0, model
+
+
+def test_delaunay_horizontal_graph():
+    """Legacy Delaunay horizontal graph (reference
+    DelaunayHorizontalGraph): adjacent patches get connected with
+    7-dim subedge features; max_dist filtering never isolates a node."""
+    from superpoint_transformer_tpu.transforms.preprocess import (
+        delaunay_horizontal_graph)
+    data = synthetic_scene()
+    nag = preprocess_cloud(
+        data, voxel=0.1, knn=12, knn_r=1.0, num_classes=3,
+        pcp_regularization=(0.05, 0.2), pcp_spatial_weight=(2.0, 0.5),
+        pcp_cutoff=(5, 5), graph_gap=(0.5, 1.0))
+    nag = delaunay_horizontal_graph(nag, n_max_edge=32, n_min=3,
+                                    max_dist=(8.0, 12.0))
+    for lvl in (1, 2):
+        d = nag[lvl]
+        ei, ea = d.edge_index, d.edge_attr
+        assert ea.shape == (ei.shape[1], 7)
+        if d.num_nodes < 2:
+            continue
+        assert ei.shape[1] > 0
+        assert (ei[0] < ei[1]).all()  # trimmed
+        assert np.isfinite(ea).all()
+        assert (ea[:, 6] > 0).all()  # mean_dist positive
+        # no isolated nodes after distance filtering
+        deg = np.bincount(ei.reshape(-1), minlength=d.num_nodes)
+        assert (deg > 0).all()
