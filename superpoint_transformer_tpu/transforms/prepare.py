@@ -79,6 +79,11 @@ def prepare_batch(nag_list, cfg: BatchConfig, train=True, rng=None,
     sample = train and not tta
     processed = []
     for nag in nag_list:
+        if cfg.nano and nag.start_i_level == 0:
+            raise ValueError(
+                "nano batch configs expect NAGs loaded without level 0 "
+                "(start_i_level >= 1, reference nano datasets load with "
+                "low=1); got a NAG rooted at level 0")
         nag = nag.clone()
         nag = T.node_size(nag, low=0 if not cfg.nano else 1)
         if sample:
