@@ -25,6 +25,14 @@ from ..transforms.preprocess import preprocess_cloud
 __all__ = ['BaseDataset']
 
 
+def _preprocess_worker_init():
+    """Keep preprocessing workers off any accelerator: the per-cloud
+    pipeline is the host numpy/C++ path, and N workers must never race
+    for the (single) TPU chip."""
+    os.environ['JAX_PLATFORMS'] = 'cpu'
+    os.environ.pop('PALLAS_AXON_POOL_IPS', None)
+
+
 class BaseDataset:
     """Subclasses must define:
       - `class_names` (list, incl. trailing 'ignored')
@@ -49,6 +57,7 @@ class BaseDataset:
     def __init__(self, root, stage='train', pre_transform_config=None,
                  point_load_keys=None, segment_load_keys=None,
                  nano=False, in_memory=False, host_id=0, num_hosts=1,
+                 num_workers=1, xy_tiling=None, pc_tiling=None,
                  verbose=False):
         assert stage in ('train', 'val', 'trainval', 'test')
         self.root = root
@@ -60,6 +69,15 @@ class BaseDataset:
         self.in_memory = in_memory
         self.host_id = host_id
         self.num_hosts = num_hosts
+        # worker processes for `process()` (per-cloud fan-out on this
+        # host; <=0 means one per CPU core)
+        self.num_workers = (num_workers if num_workers > 0
+                            else (os.cpu_count() or 1))
+        # per-instance tiling overrides of the class defaults
+        if xy_tiling is not None:
+            self.xy_tiling = xy_tiling
+        if pc_tiling is not None:
+            self.pc_tiling = pc_tiling
         self.verbose = verbose
         self._cache = {}
 
@@ -145,12 +163,26 @@ class BaseDataset:
     def process(self):
         """Preprocess any missing cloud. Skips per-cloud if the .h5
         already exists (resumable, reference base.py:798). Each host
-        processes its shard of the cloud list."""
+        processes its shard of the cloud list; within a host,
+        `num_workers > 1` fans the per-cloud loop out over spawned
+        worker processes (preprocessing is the host numpy/C++ path —
+        the reference's DataLoader-workers analogue for its
+        embarrassingly parallel per-cloud loop, base.py:788)."""
         todo = [c for c in self.cloud_ids
                 if not osp.exists(self.processed_path(c))]
         todo = todo[self.host_id::self.num_hosts]
-        for cloud_id in todo:
-            self._process_single_cloud(cloud_id)
+        if not todo:
+            return
+        n_workers = min(self.num_workers, len(todo))
+        if n_workers > 1:
+            import multiprocessing as mp
+            ctx = mp.get_context('spawn')
+            with ctx.Pool(n_workers,
+                          initializer=_preprocess_worker_init) as pool:
+                pool.map(self._process_single_cloud, todo, chunksize=1)
+        else:
+            for cloud_id in todo:
+                self._process_single_cloud(cloud_id)
 
     def _process_single_cloud(self, cloud_id):
         path = self.processed_path(cloud_id)

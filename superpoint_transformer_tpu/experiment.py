@@ -284,7 +284,8 @@ def build_datasets(cfg: Config, stages=('train', 'val', 'test')):
     kwargs = dict(
         pre_transform_config=_pre_transform_config(cfg),
         in_memory=bool(dm.get('in_memory', False)),
-        nano=bool(dm.get('nano', False)))
+        nano=bool(dm.get('nano', False)),
+        num_workers=int(dm.get('num_workers', 1)))
     if dm.get('xy_tiling'):
         t = dm.xy_tiling
         kwargs['xy_tiling'] = tuple(t) if not np.isscalar(t) else int(t)

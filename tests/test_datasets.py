@@ -73,6 +73,24 @@ def test_s3dis_process_and_load(s3dis_root):
     assert ds3.pre_transform_hash != ds.pre_transform_hash
 
 
+def test_process_parallel_workers_and_tiling_kwargs(s3dis_root):
+    """num_workers>1 fans the per-cloud preprocessing loop over
+    spawned worker processes; xy_tiling passed as a constructor kwarg
+    (the build_datasets path) splits the cloud into tiles that are
+    processed independently."""
+    cfg = dict(PRE_CFG, voxel=0.12)  # fresh hash -> reprocess
+    ds = MiniS3DIS(s3dis_root, fold=5, stage='train',
+                   pre_transform_config=cfg, num_workers=2,
+                   xy_tiling=(2, 1))
+    assert len(ds.cloud_ids) == 2
+    ds.process()
+    for c in ds.cloud_ids:
+        assert osp.exists(ds.processed_path(c))
+    nag = ds[0]
+    assert nag.num_levels == 3
+    assert nag[0].num_nodes > 10
+
+
 def test_s3dis_fold_splits(s3dis_root):
     ds = S3DIS(s3dis_root, fold=5, stage='test',
                pre_transform_config=PRE_CFG)
