@@ -71,6 +71,22 @@ class SemanticTask:
         self.model = SemanticSegmentationModel(
             net=self.net, num_classes=self.num_classes)
 
+    def lr_at(self, step):
+        """Host-side LR of the base parameter group at `step` (numpy
+        mirror of make_optimizer's cosine-warmup schedule — for epoch
+        logging without a device round-trip; reference LearningRateMonitor
+        callback, configs/callbacks/lr_monitor.yaml)."""
+        warmup_init_lr, eta_min = 1e-6, 1e-6
+        s = float(step)
+        w = float(self.warmup_steps)
+        t = float(self.total_steps)
+        if s < w:
+            frac = 0.5 * (1 - np.cos(np.pi * min(s / max(w, 1), 1)))
+            return warmup_init_lr + (self.lr - warmup_init_lr) * frac
+        progress = min(max((s - w) / max(t - w, 1), 0), 1)
+        return eta_min + (self.lr - eta_min) * 0.5 * (
+            1 + np.cos(np.pi * progress))
+
     # -- state ----------------------------------------------------------
     def init_state(self, rng, example_batch):
         init_fn = jax.jit(partial(self.model.init, train=False))

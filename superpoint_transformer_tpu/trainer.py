@@ -41,6 +41,50 @@ class CSVLogger:
             csv.writer(f).writerow([row.get(k) for k in self._keys])
 
 
+class TensorBoardLogger:
+    """Scalar logging to TensorBoard event files (reference
+    configs/logger/tensorboard.yaml). Rows are `{'epoch', 'split',
+    metric: value, ...}`; scalars land under `<split>/<metric>`."""
+
+    def __init__(self, logdir):
+        from torch.utils.tensorboard import SummaryWriter
+        self.writer = SummaryWriter(logdir)
+
+    def log(self, row):
+        epoch = int(row.get('epoch', 0))
+        split = row.get('split', '')
+        for k, v in row.items():
+            if k in ('epoch', 'split') or v is None:
+                continue
+            if isinstance(v, (int, float)):
+                self.writer.add_scalar(f'{split}/{k}', v, epoch)
+        self.writer.flush()
+
+
+class MultiLogger:
+    def __init__(self, loggers):
+        self.loggers = list(loggers)
+
+    def log(self, row):
+        for lg in self.loggers:
+            lg.log(row)
+
+
+def make_loggers(names, output_dir, csv_name='metrics.csv'):
+    """'csv' | 'tensorboard' names -> MultiLogger (reference
+    configs/logger/ group; csv is always a safe choice)."""
+    out = []
+    for name in names:
+        if name == 'csv':
+            out.append(CSVLogger(osp.join(output_dir, csv_name)))
+        elif name == 'tensorboard':
+            out.append(TensorBoardLogger(osp.join(output_dir, 'tb')))
+        else:
+            raise ValueError(f'unknown logger {name!r} '
+                             "(expected 'csv' or 'tensorboard')")
+    return MultiLogger(out)
+
+
 @dataclass
 class Trainer:
     task: 'SemanticTask'
@@ -65,15 +109,22 @@ class Trainer:
     # 'pq' (panoptic; reference optimized_metric 'val/pq',
     # configs/experiment/panoptic/s3dis.yaml:35)
     monitor: str = 'miou'
+    # stop after this many consecutive non-improving validations of
+    # the monitored metric (reference EarlyStopping callback,
+    # configs/callbacks/default.yaml patience: 500; <=0 disables)
+    early_stopping_patience: int = -1
+    # logger backends: any of 'csv', 'tensorboard'
+    loggers: tuple = ('csv',)
 
     def __post_init__(self):
         if self.eval_batch_cfg is None:
             self.eval_batch_cfg = self.batch_cfg
         os.makedirs(self.output_dir, exist_ok=True)
-        self.logger = CSVLogger(osp.join(self.output_dir, 'metrics.csv'))
+        self.logger = make_loggers(self.loggers, self.output_dir)
         self.best_miou = -1.0
         self.epoch = 0
         self._partition_settings = None
+        self._stale_validations = 0
 
     # -- checkpointing ---------------------------------------------------
     def _ckpt_dir(self, name):
@@ -136,15 +187,18 @@ class Trainer:
             for c in jax.device_get(dev_cms):
                 cm.merge(np.asarray(c))
             m = cm.all_metrics()
+            lr_at = getattr(self.task, 'lr_at', None)
             row = {'epoch': epoch, 'split': 'train',
                    'loss': float(np.mean(losses)) if losses else None,
                    'miou': m['miou'], 'oa': m['oa'], 'macc': m['macc'],
+                   'lr': lr_at(step) if lr_at is not None else None,
                    'time': time.time() - t0}
             self.logger.log(row)
             print(f"[epoch {epoch}] train loss="
                   f"{row['loss']:.4f} miou={m['miou']:.2f} "
                   f"({row['time']:.1f}s)")
 
+            stop = False
             if val_loader is not None and (
                     (epoch + 1) % self.check_val_every_n_epoch == 0
                     or epoch == self.max_epochs - 1):
@@ -156,7 +210,18 @@ class Trainer:
                 if score is not None and score > self.best_miou:
                     self.best_miou = score
                     self.save_checkpoint(state, 'best')
+                    self._stale_validations = 0
+                else:
+                    self._stale_validations += 1
+                    p = self.early_stopping_patience
+                    if 0 < p <= self._stale_validations:
+                        print(f"[epoch {epoch}] early stopping: "
+                              f"{self.monitor} did not improve for "
+                              f"{self._stale_validations} validations")
+                        stop = True
             self.save_checkpoint(state, 'last')
+            if stop:
+                break
         return state
 
     def _panoptic_due(self, epoch):

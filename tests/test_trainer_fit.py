@@ -69,6 +69,56 @@ def test_fit_and_checkpoint(tmp_path):
     assert np.isfinite(m['miou'])
 
 
+def test_early_stopping_and_lr_logging(tmp_path):
+    """With a ~zero learning rate the monitored val mIoU never
+    improves after the first validation, so patience=1 stops the fit
+    early (reference EarlyStopping callback); the train rows carry the
+    scheduler's LR (reference LearningRateMonitor)."""
+    nags = [random_nag(seed=s, n_points=300) for s in range(2)]
+    cfg = BatchConfig(sample_graph_r=-1, sample_segment_ratio=0,
+                      max_num_nodes=10_000)
+    cfg = discover_caps([nags], cfg, rng=np.random.default_rng(0))
+    task = SemanticTask(net=tiny_model(), num_classes=13,
+                        lr=1e-9, total_steps=100, warmup_steps=0)
+    trainer = Trainer(task=task, batch_cfg=cfg,
+                      output_dir=str(tmp_path), max_epochs=8,
+                      check_val_every_n_epoch=1,
+                      early_stopping_patience=1)
+    from superpoint_transformer_tpu.transforms.prepare import (
+        prepare_batch)
+    example = prepare_batch([n.clone() for n in nags], cfg,
+                            train=True, rng=np.random.default_rng(0))
+    state = task.init_state(jax.random.PRNGKey(0), example)
+    state = trainer.fit(state, _Loader(nags), val_loader=_Loader(nags))
+    assert trainer.epoch < 7  # stopped before max_epochs
+    assert trainer._stale_validations >= 1
+    lines = (tmp_path / 'metrics.csv').read_text().splitlines()
+    header = lines[0].split(',')
+    assert 'lr' in header
+    i_lr = header.index('lr')
+    i_split = header.index('split')
+    train_rows = [l.split(',') for l in lines[1:]
+                  if l.split(',')[i_split] == 'train']
+    assert float(train_rows[0][i_lr]) > 0
+
+
+def test_tensorboard_logger(tmp_path):
+    """loggers=('csv','tensorboard') fans rows out to both backends;
+    TB event files appear under <output>/tb."""
+    import os
+    from superpoint_transformer_tpu.trainer import make_loggers
+    lg = make_loggers(('csv', 'tensorboard'), str(tmp_path))
+    lg.log({'epoch': 0, 'split': 'train', 'loss': 1.5, 'miou': 10.0,
+            'time': None})
+    lg.log({'epoch': 1, 'split': 'train', 'loss': 1.2, 'miou': 12.0,
+            'time': 0.5})
+    assert (tmp_path / 'metrics.csv').exists()
+    tb_files = os.listdir(tmp_path / 'tb')
+    assert any('tfevents' in f for f in tb_files)
+    with pytest.raises(ValueError):
+        make_loggers(('wandb',), str(tmp_path))
+
+
 @pytest.mark.slow
 def test_training_improves_miou():
     """Learning quality: on synthetic NAGs whose level-1 features

@@ -100,6 +100,9 @@ def main(argv=None):
         max_epochs=max_epochs,
         check_val_every_n_epoch=int(
             cfg.trainer.check_val_every_n_epoch),
+        early_stopping_patience=int(
+            cfg.trainer.get('early_stopping_patience', -1)),
+        loggers=tuple(cfg.trainer.get('logger', ('csv',))),
         seed=seed, **panoptic_kwargs)
     if cfg.get('ckpt_path'):
         state = trainer.load_checkpoint(state, cfg.ckpt_path)
