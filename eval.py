@@ -1,6 +1,12 @@
 """Evaluation CLI (analogue of reference src/eval.py):
 
     python eval.py experiment=semantic/s3dis ckpt_path=<dir>
+
+S3DIS 6-fold protocol (reference compute_semantic_metrics_s3dis_6fold,
+src/utils/semantic.py:73 — per-fold confusion matrices are summed):
+
+    python eval.py experiment=semantic/s3dis s3dis_6fold=True \\
+        ckpt_path='outputs/fold{fold}/checkpoints/best'
 """
 import os.path as osp
 import sys
@@ -13,11 +19,10 @@ from superpoint_transformer_tpu.utils.jax_setup import setup_jax
 setup_jax()
 
 
-def main(argv=None):
-    argv = argv if argv is not None else sys.argv[1:]
-    here = osp.dirname(osp.abspath(__file__))
-
-    from superpoint_transformer_tpu.config.loader import load_config
+def evaluate(cfg):
+    """Single-run evaluation: build the test set, load the checkpoint,
+    run the (TTA/panoptic/submission-aware) test epoch. Returns the
+    metric dict; 'confmat' carries the raw counts."""
     from superpoint_transformer_tpu.experiment import (
         build_task, build_datasets, build_batch_config)
     from superpoint_transformer_tpu.datasets import DataLoader
@@ -25,7 +30,6 @@ def main(argv=None):
     from superpoint_transformer_tpu.transforms.prepare import (
         prepare_batch)
 
-    cfg = load_config(osp.join(here, 'configs'), 'eval', argv)
     datasets = build_datasets(cfg, stages=('test',))
     datasets['test'].process()
 
@@ -86,6 +90,49 @@ def main(argv=None):
             make_submission(ds, cid, pred, sub_dir)
         print(f'submission written to {sub_dir}')
     return metrics
+
+
+def evaluate_s3dis_6fold(cfg_dir, argv):
+    """6-fold cross-validation: evaluate each fold's checkpoint on its
+    held-out area and sum the confusion matrices (reference
+    compute_semantic_metrics_s3dis_6fold — concatenating per-fold
+    predictions is equivalent to summing the per-fold counts).
+    `ckpt_path` may contain a `{fold}` placeholder."""
+    import numpy as np
+    from superpoint_transformer_tpu.config.loader import load_config
+    from superpoint_transformer_tpu.metrics.semantic import (
+        miou_from_confmat, oa_from_confmat, macc_from_confmat)
+
+    base = load_config(cfg_dir, 'eval', argv)
+    ckpt_template = str(base.get('ckpt_path', ''))
+    total = None
+    for fold in range(1, 7):
+        overrides = list(argv) + [f'datamodule.fold={fold}']
+        if '{fold}' in ckpt_template:
+            overrides.append(
+                'ckpt_path=' + ckpt_template.format(fold=fold))
+        fcfg = load_config(cfg_dir, 'eval', overrides)
+        print(f'=== fold {fold} (test area Area_{fold}) ===')
+        m = evaluate(fcfg)
+        total = m['confmat'] if total is None else total + m['confmat']
+    out = {'miou': miou_from_confmat(total),
+           'oa': oa_from_confmat(total),
+           'macc': macc_from_confmat(total),
+           'confmat': total}
+    print(f"6-fold: miou={out['miou']:.2f} oa={out['oa']:.2f} "
+          f"macc={out['macc']:.2f}")
+    return out
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    here = osp.dirname(osp.abspath(__file__))
+    from superpoint_transformer_tpu.config.loader import load_config
+    cfg_dir = osp.join(here, 'configs')
+    cfg = load_config(cfg_dir, 'eval', argv)
+    if bool(cfg.get('s3dis_6fold', False)):
+        return evaluate_s3dis_6fold(cfg_dir, argv)
+    return evaluate(cfg)
 
 
 if __name__ == '__main__':

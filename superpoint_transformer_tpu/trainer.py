@@ -292,6 +292,10 @@ class Trainer:
         self.logger.log(row)
         print(f"[epoch {self.epoch}] {split} miou={m['miou']:.2f} "
               f"oa={m['oa']:.2f} macc={m['macc']:.2f}")
+        # raw counts, so callers can concatenate across runs (the
+        # S3DIS 6-fold protocol sums per-fold confusion matrices,
+        # reference src/utils/semantic.py:73)
+        m['confmat'] = cm.confmat.copy()
         return m
 
     def test(self, state, loader):

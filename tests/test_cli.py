@@ -1,0 +1,64 @@
+"""CLI-level end-to-end tests: train.py -> eval.py on a tiny
+synthetic S3DIS (the reference's tests/test_train.py fast_dev_run +
+tests/test_eval.py + test_sweeps.py analogue, run in-process)."""
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from tests.test_datasets import make_raw_s3dis
+
+import train as train_cli
+import eval as eval_cli
+
+
+def _overrides(root, out):
+    return [
+        'experiment=semantic/s3dis',
+        f'datamodule.data_dir={root}', f'output_dir={out}',
+        'datamodule.voxel=0.1', 'datamodule.knn=12',
+        'datamodule.knn_r=1.0',
+        'datamodule.pcp_regularization=[0.05,0.2]',
+        'datamodule.pcp_spatial_weight=[2.0,0.5]',
+        'datamodule.pcp_cutoff=[5,5]',
+        'datamodule.graph_gap=[0.5,1.0]',
+        'datamodule.mini=True',
+        'trainer.max_epochs=1', 'trainer.check_val_every_n_epoch=1',
+        'datamodule.dataloader.batch_size=2']
+
+
+def test_train_then_eval_cli(tmp_path):
+    """1-epoch train run writes checkpoints + metrics; eval restores
+    the checkpoint and reports finite test metrics (reference
+    test_eval.py: train 1 epoch -> eval from ckpt)."""
+    root = str(tmp_path / 's3dis')
+    make_raw_s3dis(root)
+    out = str(tmp_path / 'out')
+    best = train_cli.main(_overrides(root, out))
+    assert np.isfinite(best)
+    assert osp.exists(osp.join(out, 'checkpoints', 'last'))
+    assert osp.exists(osp.join(out, 'metrics.csv'))
+
+    m = eval_cli.main(
+        _overrides(root, out)
+        + ['ckpt_path=' + osp.join(out, 'checkpoints', 'last')])
+    assert np.isfinite(m['miou'])
+    assert m['confmat'].sum() > 0
+
+
+@pytest.mark.slow
+def test_eval_s3dis_6fold_cli(tmp_path):
+    """6-fold protocol: each fold evaluates its held-out area and the
+    per-fold confusion matrices are summed (reference
+    compute_semantic_metrics_s3dis_6fold, src/utils/semantic.py:73).
+    Run with random weights — the protocol, not the score, is under
+    test."""
+    root = str(tmp_path / 's3dis')
+    make_raw_s3dis(root, areas=[f'Area_{i}' for i in range(1, 7)],
+                   rooms=1, n_per_obj=150)
+    out = str(tmp_path / 'out')
+    res = eval_cli.main(_overrides(root, out) + ['s3dis_6fold=True'])
+    assert np.isfinite(res['miou'])
+    # all six held-out areas contributed points
+    per_fold_mass = res['confmat'].sum()
+    assert per_fold_mass > 0
