@@ -19,10 +19,11 @@ from superpoint_transformer_tpu.utils.jax_setup import setup_jax
 setup_jax()
 
 
-def evaluate(cfg):
+def evaluate(cfg, pq=None, ap=None):
     """Single-run evaluation: build the test set, load the checkpoint,
     run the (TTA/panoptic/submission-aware) test epoch. Returns the
-    metric dict; 'confmat' carries the raw counts."""
+    metric dict; 'confmat' carries the raw counts. `pq`/`ap` are
+    optional shared accumulators for cross-fold panoptic metrics."""
     from superpoint_transformer_tpu.experiment import (
         build_task, build_datasets, build_batch_config)
     from superpoint_transformer_tpu.datasets import DataLoader
@@ -59,7 +60,8 @@ def evaluate(cfg):
             cfg.get('panoptic_grid_search', True))
         metrics = {**metrics,
                    **trainer.validate_panoptic(state, loader,
-                                               split='test')}
+                                               split='test',
+                                               pq=pq, ap=ap)}
     # held-out benchmark submission: full-resolution predictions per
     # cloud in the dataset's format (reference
     # BaseDataset.make_submission, src/datasets/base.py:1115)
@@ -105,6 +107,18 @@ def evaluate_s3dis_6fold(cfg_dir, argv):
 
     base = load_config(cfg_dir, 'eval', argv)
     ckpt_template = str(base.get('ckpt_path', ''))
+    # panoptic 6-fold: shared accumulators concatenate the per-fold
+    # instance matches before the final PQ/mAP compute
+    pq = ap = None
+    if str(base.model.get('task', 'semantic')) == 'panoptic':
+        from superpoint_transformer_tpu.metrics.panoptic import (
+            PanopticQuality3D)
+        from superpoint_transformer_tpu.metrics.mean_average_precision \
+            import MeanAveragePrecision3D
+        n_cls = int(base.datamodule.num_classes)
+        stuff = tuple(base.datamodule.get('stuff_classes', ()))
+        pq = PanopticQuality3D(n_cls, stuff_classes=stuff)
+        ap = MeanAveragePrecision3D(n_cls, stuff_classes=stuff)
     total = None
     for fold in range(1, 7):
         overrides = list(argv) + [f'datamodule.fold={fold}']
@@ -113,14 +127,20 @@ def evaluate_s3dis_6fold(cfg_dir, argv):
                 'ckpt_path=' + ckpt_template.format(fold=fold))
         fcfg = load_config(cfg_dir, 'eval', overrides)
         print(f'=== fold {fold} (test area Area_{fold}) ===')
-        m = evaluate(fcfg)
+        m = evaluate(fcfg, pq=pq, ap=ap)
         total = m['confmat'] if total is None else total + m['confmat']
     out = {'miou': miou_from_confmat(total),
            'oa': oa_from_confmat(total),
            'macc': macc_from_confmat(total),
            'confmat': total}
+    if pq is not None:
+        out.update(pq.compute())
+        out.update({f'map_{k}' if not k.startswith('map') else k: v
+                    for k, v in ap.compute().items()
+                    if k in ('map', 'map_50', 'map_25', 'mar')})
     print(f"6-fold: miou={out['miou']:.2f} oa={out['oa']:.2f} "
-          f"macc={out['macc']:.2f}")
+          f"macc={out['macc']:.2f}"
+          + (f" pq={out['pq']:.2f}" if 'pq' in out else ''))
     return out
 
 

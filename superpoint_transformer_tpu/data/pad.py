@@ -215,7 +215,7 @@ def sort_nag_by_super(nag):
 
 
 def pad_nag(nag, num_classes=None, node_caps=None, k_caps=None,
-            bucket_mode='pow2', with_edges_from=1):
+            bucket_mode='pow2', with_edges_from=1, device=True):
     """Convert a (batched, sorted, transform-complete) NAG into a
     PaddedNAG of static-capacity jnp arrays.
 
@@ -325,15 +325,23 @@ def pad_nag(nag, num_classes=None, node_caps=None, k_caps=None,
                 kw['obj_edge_affinity'] = oea
 
         levels.append(PaddedLevel(
-            pos=jnp.asarray(pos),
-            node_mask=jnp.asarray(mask),
-            batch=jnp.asarray(batch_arr),
-            num_nodes=jnp.asarray(n, dtype=jnp.int32),
-            **{k: jnp.asarray(v) for k, v in kw.items()}))
+            pos=pos,
+            node_mask=mask,
+            batch=batch_arr,
+            num_nodes=np.int32(n),
+            **kw))
 
-    return PaddedNAG(levels=tuple(levels),
-                     start_i_level=nag.start_i_level,
-                     num_graphs=num_graphs)
+    out = PaddedNAG(levels=tuple(levels),
+                    start_i_level=nag.start_i_level,
+                    num_graphs=num_graphs)
+    if not device:
+        # numpy leaves: for worker processes that prepare batches off
+        # the main process — the consumer calls jax.device_put once
+        return out
+    # ONE batched transfer for the whole pytree (a per-leaf
+    # jnp.asarray costs a dispatch per array — 40+ round-trips)
+    import jax
+    return jax.device_put(out)
 
 
 def pad_point_cloud(data_list, num_classes=None, node_cap=None,

@@ -312,6 +312,111 @@ class DataLoader:
             yield item
 
 
+def _prepared_worker(dataset, batch_cfg, train, task_q, result_q):
+    """Worker-process loop: load the NAGs of a batch and run the full
+    host batch-prep to a numpy-leaf PaddedNAG. Runs with JAX pinned to
+    CPU so workers never race for an accelerator."""
+    os.environ['JAX_PLATFORMS'] = 'cpu'
+    os.environ.pop('PALLAS_AXON_POOL_IPS', None)
+    from ..transforms.prepare import prepare_batch
+    while True:
+        item = task_q.get()
+        if item is None:
+            break
+        bid, idx, seed = item
+        nags = [dataset[int(j)] for j in idx]
+        rng = np.random.default_rng(seed)
+        out = prepare_batch(nags, batch_cfg, train=train, rng=rng,
+                            device=False)
+        result_q.put((bid, out))
+
+
+class PreparedDataLoader(DataLoader):
+    """DataLoader that also runs `prepare_batch`, in worker PROCESSES
+    when `num_workers > 0`, yielding device-ready `PaddedNAG` batches.
+
+    This is the training-input runtime: the reference hides batch prep
+    on the GPU inside `on_after_batch_transfer`; here the host-side
+    augment/sample/pad pipeline dominates the step wall-clock (the
+    jitted step itself is ~ms), so it fans out over processes. Padded
+    batches cross the process boundary as numpy pytrees and the
+    consumer issues ONE batched `jax.device_put` per batch.
+
+    Batch capacities must be pinned (`discover_caps`) so every worker
+    pads to the same compiled shapes. Workers persist across epochs.
+    """
+
+    def __init__(self, dataset, batch_cfg, batch_size=1, shuffle=False,
+                 seed=0, drop_last=False, train=True, num_workers=0,
+                 prefetch=4):
+        super().__init__(dataset, batch_size=batch_size,
+                         shuffle=shuffle, seed=seed,
+                         drop_last=drop_last, prefetch=prefetch)
+        self.batch_cfg = batch_cfg
+        self.train = train
+        self.num_workers = num_workers
+        self._pool = None
+
+    def _ensure_pool(self):
+        if self._pool is not None:
+            return
+        import multiprocessing as mp
+        ctx = mp.get_context('spawn')
+        self._task_q = ctx.Queue()
+        # bound in-flight prepared batches to cap host memory
+        self._result_q = ctx.Queue(
+            maxsize=max(2 * self.num_workers, 4))
+        self._pool = [
+            ctx.Process(
+                target=_prepared_worker,
+                args=(self.dataset, self.batch_cfg, self.train,
+                      self._task_q, self._result_q),
+                daemon=True)
+            for _ in range(self.num_workers)]
+        for p in self._pool:
+            p.start()
+
+    def close(self):
+        if self._pool is None:
+            return
+        for _ in self._pool:
+            self._task_q.put(None)
+        for p in self._pool:
+            p.join(timeout=5)
+            if p.is_alive():
+                p.terminate()
+        self._pool = None
+
+    def __iter__(self):
+        import jax
+        # per-batch seeds: batch content is reproducible and
+        # INDEPENDENT of the worker count
+        batches = list(self._batches())
+        seeds = np.random.SeedSequence(
+            self.seed + 7919 * self.epoch).generate_state(
+            max(len(batches), 1))
+        if self.num_workers <= 0:
+            from ..transforms.prepare import prepare_batch
+            for bid, idx in enumerate(batches):
+                nags = [self.dataset[int(j)] for j in idx]
+                rng = np.random.default_rng(int(seeds[bid]))
+                yield prepare_batch(nags, self.batch_cfg,
+                                    train=self.train, rng=rng)
+            return
+        self._ensure_pool()
+        for bid, idx in enumerate(batches):
+            self._task_q.put((bid, np.asarray(idx), int(seeds[bid])))
+        pending = {}
+        next_bid = 0
+        while next_bid < len(batches):
+            while next_bid not in pending:
+                bid, out = self._result_q.get()
+                pending[bid] = out
+            out = pending.pop(next_bid)
+            next_bid += 1
+            yield jax.device_put(out)
+
+
 # ----- submission hooks --------------------------------------------------
 def make_submission(dataset, cloud_id, full_res_pred, submission_dir):
     """Write held-out-set predictions in the dataset's benchmark

@@ -18,6 +18,7 @@ import jax
 import numpy as np
 
 from . import __version__
+from .data.pad import PaddedNAG
 from .metrics.semantic import ConfusionMatrix
 from .transforms.prepare import prepare_batch
 
@@ -176,8 +177,10 @@ class Trainer:
             dev_losses, dev_cms = [], []
             t0 = time.time()
             for nags in train_loader:
-                batch = prepare_batch(
-                    nags, self.batch_cfg, train=True, rng=np_rng)
+                # PreparedDataLoader yields device-ready batches
+                batch = nags if isinstance(nags, PaddedNAG) \
+                    else prepare_batch(
+                        nags, self.batch_cfg, train=True, rng=np_rng)
                 rng, sub = jax.random.split(rng)
                 state, metrics = self.task.train_step(state, batch, sub)
                 dev_losses.append(metrics['loss'])
@@ -233,16 +236,19 @@ class Trainer:
             return False
         return ((epoch + 1) % n == 0 or epoch == self.max_epochs - 1)
 
-    def validate_panoptic(self, state, loader, split='val'):
+    def validate_panoptic(self, state, loader, split='val', pq=None,
+                          ap=None):
         """Panoptic validation epoch: instance partition on predictions
         + PQ/mAP vs gt overlaps; logs to panoptic.csv. Grid-searches
-        the partition hyperparameters once, then reuses them."""
+        the partition hyperparameters once, then reuses them.
+        `pq`/`ap` accumulate across calls when provided (6-fold)."""
         out = validate_panoptic(
             self.task, state, loader, self.eval_batch_cfg,
             self.task.num_classes, stuff_classes=self.stuff_classes,
             grid_search=(self.panoptic_grid_search
                          and self._partition_settings is None),
-            settings=self._partition_settings, seed=self.seed)
+            settings=self._partition_settings, seed=self.seed,
+            pq=pq, ap=ap)
         self._partition_settings = out.get('settings')
         if not hasattr(self, '_panoptic_logger'):
             self._panoptic_logger = CSVLogger(
@@ -267,8 +273,16 @@ class Trainer:
         losses = []
         np_rng = np.random.default_rng(self.seed)
         for nags in loader:
-            batch = prepare_batch(nags, self.eval_batch_cfg,
-                                  train=False)
+            if isinstance(nags, PaddedNAG):
+                if tta_runs > 0:
+                    raise ValueError(
+                        'TTA validation needs raw NAG batches '
+                        '(augmented re-preparation per run) — use a '
+                        'plain DataLoader, not PreparedDataLoader')
+                batch = nags
+            else:
+                batch = prepare_batch(nags, self.eval_batch_cfg,
+                                      train=False)
             out = self.task.eval_step(state, batch)
             losses.append(float(out['loss']))
             if tta_runs > 0:
@@ -361,7 +375,7 @@ def fit_partition(task, train_loader, batch_cfg, output_dir='outputs',
 
 def validate_panoptic(task, state, loader, batch_cfg, num_classes,
                       stuff_classes=(), grid_search=False, seed=0,
-                      settings=None):
+                      settings=None, pq=None, ap=None):
     """Panoptic validation epoch (reference
     PanopticSegmentationModule._forward_partition + the epoch-end
     grid search, src/models/panoptic.py:498,952): per batch, run the
@@ -382,9 +396,15 @@ def validate_panoptic(task, state, loader, batch_cfg, num_classes,
                                   grid_search_panoptic_partition)
     from .transforms.prepare import prepare_batch
 
-    pq = PanopticQuality3D(num_classes, stuff_classes=stuff_classes)
-    ap = MeanAveragePrecision3D(num_classes,
-                                stuff_classes=stuff_classes)
+    # external accumulators let callers concatenate epochs/folds (the
+    # S3DIS 6-fold panoptic protocol, reference
+    # compute_panoptic_metrics_s3dis_6fold, src/utils/instance.py:939)
+    if pq is None:
+        pq = PanopticQuality3D(num_classes,
+                               stuff_classes=stuff_classes)
+    if ap is None:
+        ap = MeanAveragePrecision3D(num_classes,
+                                    stuff_classes=stuff_classes)
     if settings is None:
         settings = dict(regularization=10.0, x_weight=5e-2, cutoff=1)
     first = True

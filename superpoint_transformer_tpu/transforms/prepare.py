@@ -64,7 +64,7 @@ class BatchConfig:
 
 
 def prepare_batch(nag_list, cfg: BatchConfig, train=True, rng=None,
-                  tta=False):
+                  tta=False, device=True):
     """Full batch-prep: augment+sample each NAG, build features, batch,
     pad. Returns a PaddedNAG ready for the jitted step.
 
@@ -144,7 +144,7 @@ def prepare_batch(nag_list, cfg: BatchConfig, train=True, rng=None,
     big = batch_nags(processed)
     return pad_nag(big, num_classes=cfg.num_classes,
                    node_caps=cfg.node_caps, k_caps=cfg.k_caps,
-                   bucket_mode=cfg.bucket_mode)
+                   bucket_mode=cfg.bucket_mode, device=device)
 
 
 def discover_caps(nag_lists, cfg: BatchConfig, train=True, rng=None,

@@ -670,17 +670,19 @@ def radius_horizontal_graph(
         pair_key = s2.astype(np.int64) * num_seg + t2
         uniq, inv = np.unique(pair_key, return_inverse=True)
         n_pairs = uniq.shape[0]
-        # per-pair subedge stats
-        cnt = np.bincount(inv).astype(np.float64)
-        mean_off = np.zeros((n_pairs, 3))
-        np.add.at(mean_off, inv, off)
+        # per-pair subedge stats (bincount-with-weights: ~10x faster
+        # than np.add.at scatter on multi-million-edge levels)
+        cnt = np.bincount(inv, minlength=n_pairs).astype(np.float64)
+        mean_off = np.stack(
+            [np.bincount(inv, weights=off[:, c], minlength=n_pairs)
+             for c in range(3)], 1)
         mean_off /= cnt[:, None]
         dev = (off - mean_off[inv]) ** 2
-        var = np.zeros((n_pairs, 3))
-        np.add.at(var, inv, dev)
+        var = np.stack(
+            [np.bincount(inv, weights=dev[:, c], minlength=n_pairs)
+             for c in range(3)], 1)
         std_off = np.sqrt(var / np.maximum(cnt - 1, 1)[:, None])
-        mean_dist = np.zeros(n_pairs)
-        np.add.at(mean_dist, inv, dd)
+        mean_dist = np.bincount(inv, weights=dd, minlength=n_pairs)
         mean_dist /= cnt
         se = np.stack([(uniq // num_seg), (uniq % num_seg)])
         # cap degree at k_max by mean subedge distance
@@ -774,15 +776,17 @@ def delaunay_horizontal_graph(nag, n_max_edge=64, n_min=5,
         pair_key = s2.astype(np.int64) * num_seg + t2
         uniq, inv = np.unique(pair_key, return_inverse=True)
         n_pairs = uniq.shape[0]
-        cnt = np.bincount(inv).astype(np.float64)
-        mean_off = np.zeros((n_pairs, 3))
-        np.add.at(mean_off, inv, off)
+        cnt = np.bincount(inv, minlength=n_pairs).astype(np.float64)
+        mean_off = np.stack(
+            [np.bincount(inv, weights=off[:, c], minlength=n_pairs)
+             for c in range(3)], 1)
         mean_off /= cnt[:, None]
-        var = np.zeros((n_pairs, 3))
-        np.add.at(var, inv, (off - mean_off[inv]) ** 2)
+        dev = (off - mean_off[inv]) ** 2
+        var = np.stack(
+            [np.bincount(inv, weights=dev[:, c], minlength=n_pairs)
+             for c in range(3)], 1)
         std_off = np.sqrt(var / np.maximum(cnt - 1, 1)[:, None])
-        mean_dist = np.zeros(n_pairs)
-        np.add.at(mean_dist, inv, dd)
+        mean_dist = np.bincount(inv, weights=dd, minlength=n_pairs)
         mean_dist /= cnt
         se = np.stack([uniq // num_seg, uniq % num_seg])
         md = mds[i_level - 1]

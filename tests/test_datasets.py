@@ -73,6 +73,76 @@ def test_s3dis_process_and_load(s3dis_root):
     assert ds3.pre_transform_hash != ds.pre_transform_hash
 
 
+def test_prepared_dataloader_workers(s3dis_root):
+    """PreparedDataLoader yields device-ready PaddedNAG batches; the
+    2-worker process path produces the same shapes/masses as the
+    serial path for the same seed, and batches arrive in order."""
+    import jax.numpy as jnp
+    from superpoint_transformer_tpu.datasets import PreparedDataLoader
+    from superpoint_transformer_tpu.transforms.prepare import (
+        BatchConfig, discover_caps)
+
+    ds = MiniS3DIS(s3dis_root, fold=5, stage='train',
+                   pre_transform_config=PRE_CFG)
+    ds.process()
+    cfg = BatchConfig(num_classes=13, sample_graph_r=-1,
+                      sample_segment_ratio=0, max_num_nodes=100_000,
+                      point_hf=('rgb',))
+    cfg = discover_caps([[ds[0]]], cfg, rng=np.random.default_rng(0))
+
+    serial = PreparedDataLoader(ds, cfg, batch_size=1, seed=3,
+                                train=True, num_workers=0)
+    parallel = PreparedDataLoader(ds, cfg, batch_size=1, seed=3,
+                                  train=True, num_workers=2)
+    try:
+        b0 = next(iter(serial))
+        b1 = next(iter(parallel))
+        assert isinstance(b1[1].pos, jnp.ndarray)
+        assert b0[1].capacity == b1[1].capacity
+        # same seed => identical sampled batch content
+        np.testing.assert_allclose(np.asarray(b0[1].pos),
+                                   np.asarray(b1[1].pos), atol=1e-6)
+        assert (int(np.asarray(b0[1].num_nodes))
+                == int(np.asarray(b1[1].num_nodes)))
+    finally:
+        parallel.close()
+
+
+def test_trainer_fit_with_prepared_loader(s3dis_root):
+    """Trainer.fit consumes device-ready batches from a 2-worker
+    PreparedDataLoader (the production train-loop input path)."""
+    import jax
+    from superpoint_transformer_tpu.datasets import PreparedDataLoader
+    from superpoint_transformer_tpu.models.semantic import SemanticTask
+    from superpoint_transformer_tpu.trainer import Trainer
+    from superpoint_transformer_tpu.transforms.prepare import (
+        BatchConfig, discover_caps, prepare_batch)
+    from tests.test_trainer_fit import tiny_model
+
+    ds = MiniS3DIS(s3dis_root, fold=5, stage='train',
+                   pre_transform_config=PRE_CFG)
+    ds.process()
+    cfg = BatchConfig(num_classes=13, sample_graph_r=-1,
+                      sample_segment_ratio=0, max_num_nodes=100_000)
+    cfg = discover_caps([[ds[0]]], cfg, rng=np.random.default_rng(0))
+    loader = PreparedDataLoader(ds, cfg, batch_size=1, seed=0,
+                                train=True, num_workers=2)
+    task = SemanticTask(net=tiny_model(num_graphs=1), num_classes=13,
+                        total_steps=4, warmup_steps=1)
+    example = prepare_batch([ds[0]], cfg, train=True,
+                            rng=np.random.default_rng(0))
+    state = task.init_state(jax.random.PRNGKey(0), example)
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        trainer = Trainer(task=task, batch_cfg=cfg, output_dir=td,
+                          max_epochs=2, check_val_every_n_epoch=10)
+        try:
+            state = trainer.fit(state, loader)
+        finally:
+            loader.close()
+    assert int(state.step) == 2
+
+
 def test_process_parallel_workers_and_tiling_kwargs(s3dis_root):
     """num_workers>1 fans the per-cloud preprocessing loop over
     spawned worker processes; xy_tiling passed as a constructor kwarg

@@ -104,9 +104,24 @@ def main(argv=None):
             cfg.trainer.get('early_stopping_patience', -1)),
         loggers=tuple(cfg.trainer.get('logger', ('csv',))),
         seed=seed, **panoptic_kwargs)
+    # fan host batch-prep out over worker processes (the jitted step
+    # is ~ms; the host augment/sample/pad pipeline is the train-loop
+    # bottleneck — see PreparedDataLoader)
+    loader_workers = int(cfg.datamodule.dataloader.get(
+        'num_workers', 0))
+    if loader_workers > 0:
+        from superpoint_transformer_tpu.datasets import (
+            PreparedDataLoader)
+        train_loader = PreparedDataLoader(
+            datasets['train'], batch_cfg, batch_size=batch_size,
+            shuffle=True, seed=seed, train=True,
+            num_workers=loader_workers)
+
     if cfg.get('ckpt_path'):
         state = trainer.load_checkpoint(state, cfg.ckpt_path)
     state = trainer.fit(state, train_loader, val_loader)
+    if loader_workers > 0:
+        train_loader.close()
     return trainer.best_miou
 
 
