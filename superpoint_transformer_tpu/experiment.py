@@ -230,6 +230,7 @@ def _pre_transform_config(cfg: Config):
         voxel=float(dm.voxel), knn=int(dm.knn), knn_r=float(dm.knn_r),
         knn_step=int(dm.get('knn_step', -1)),
         knn_min_search=int(dm.get('knn_min_search', 25)),
+        knn_backend=str(dm.get('knn_backend', 'host')),
         partition_hf=tuple(dm.partition_hf),
         point_hf_preprocess=tuple(sorted(
             set(list(dm.point_hf) + list(dm.partition_hf)

@@ -838,7 +838,7 @@ def _cap_degree(se, score, num_seg, k_max, k_min):
 
 def preprocess_cloud(
         data, voxel=0.03, knn=45, knn_r=2.0, knn_step=-1,
-        knn_min_search=25, num_classes=13,
+        knn_min_search=25, knn_backend='host', num_classes=13,
         partition_hf=('rgb', 'linearity', 'planarity', 'scattering',
                       'verticality', 'elevation'),
         point_hf_preprocess=('linearity', 'planarity', 'scattering',
@@ -868,7 +868,8 @@ def preprocess_cloud(
         data = grid_sampling(data, voxel, hist_key='y',
                              hist_size=num_classes + 1)
     with t.track('knn_search'):
-        data = knn_search(data, k=knn, r_max=knn_r)
+        data = knn_search(data, k=knn, r_max=knn_r,
+                          backend=knn_backend)
     with t.track('point_features'):
         data = point_features(data, keys=point_hf_preprocess,
                               k_step=knn_step,

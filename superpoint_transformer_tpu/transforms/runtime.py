@@ -182,8 +182,11 @@ def jitter_key(nag, rng, key='pos', sigma=0.03, trunc=0.06, level='all'):
         v = d.get(key)
         if v is None:
             continue
-        noise = np.clip(rng.normal(0, sigma, v.shape), -trunc, trunc)
-        d[key] = (v + noise).astype(np.float32)
+        noise = rng.standard_normal(v.shape, dtype=np.float32)
+        noise *= sigma
+        np.clip(noise, -trunc, trunc, out=noise)
+        noise += v
+        d[key] = noise
     return nag
 
 
