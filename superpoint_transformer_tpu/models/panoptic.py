@@ -83,11 +83,20 @@ class PanopticTask(SemanticTask):
         self.model = PanopticSegmentationModel(
             net=self.net, num_classes=self.num_classes)
 
-    def _loss_fn(self, params, batch, rng, train=True):
+    def _loss_fn(self, params, batch, rng, train=True, batch_stats=None):
         variables = {'params': params}
-        (logits, ea_logits) = self.model.apply(
-            variables, batch, train=train,
-            rngs={'dropout': rng} if train else None)
+        if batch_stats is not None:
+            variables['batch_stats'] = batch_stats
+        new_stats = None
+        if train and batch_stats is not None:
+            (logits, ea_logits), mut = self.model.apply(
+                variables, batch, train=True, rngs={'dropout': rng},
+                mutable=['batch_stats'])
+            new_stats = mut['batch_stats']
+        else:
+            (logits, ea_logits) = self.model.apply(
+                variables, batch, train=train,
+                rngs={'dropout': rng} if train else None)
         y_hists, masks = self._targets(batch)
         cw = None
         if self.class_weight is not None:
@@ -104,7 +113,7 @@ class PanopticTask(SemanticTask):
             ea_loss = _weighted_bce_with_logits(
                 ea_logits, target, weight=w, mask=emask)
             loss = loss + self.edge_affinity_loss_lambda * ea_loss
-        return loss, (logits, ea_logits)
+        return loss, (logits, ea_logits, new_stats)
 
     def _edge_weights(self, batch, target):
         w = self.edge_affinity_loss_weights
@@ -125,9 +134,12 @@ class PanopticTask(SemanticTask):
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, state, batch, rng):
-        (loss, (logits, ea)), grads = jax.value_and_grad(
-            self._loss_fn, has_aux=True)(state.params, batch, rng)
+        (loss, (logits, ea, new_stats)), grads = jax.value_and_grad(
+            self._loss_fn, has_aux=True)(
+            state.params, batch, rng, batch_stats=state.batch_stats)
         state = state.apply_gradients(grads=grads)
+        if new_stats is not None:
+            state = state.replace(batch_stats=new_stats)
         cm = confusion_matrix_from_histogram(
             logits[0], batch[1].y, self.num_classes,
             node_mask=batch[1].node_mask)
@@ -135,8 +147,9 @@ class PanopticTask(SemanticTask):
 
     @partial(jax.jit, static_argnums=0)
     def eval_step(self, state, batch):
-        loss, (logits, ea) = self._loss_fn(
-            state.params, batch, jax.random.PRNGKey(0), train=False)
+        loss, (logits, ea, _) = self._loss_fn(
+            state.params, batch, jax.random.PRNGKey(0), train=False,
+            batch_stats=state.batch_stats)
         cm = confusion_matrix_from_histogram(
             logits[0], batch[1].y, self.num_classes,
             node_mask=batch[1].node_mask)

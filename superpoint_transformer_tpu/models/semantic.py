@@ -106,11 +106,21 @@ class SemanticTask:
             batch_stats=variables.get('batch_stats'))
 
     # -- loss -----------------------------------------------------------
-    def _loss_fn(self, params, batch, rng, train=True):
+    def _loss_fn(self, params, batch, rng, train=True, batch_stats=None):
         variables = {'params': params}
-        logits = self.model.apply(
-            variables, batch, train=train,
-            rngs={'dropout': rng} if train else None)
+        if batch_stats is not None:
+            variables['batch_stats'] = batch_stats
+        new_stats = None
+        if train and batch_stats is not None:
+            # batch-norm running statistics update (norm_mode='batch')
+            logits, mut = self.model.apply(
+                variables, batch, train=True, rngs={'dropout': rng},
+                mutable=['batch_stats'])
+            new_stats = mut['batch_stats']
+        else:
+            logits = self.model.apply(
+                variables, batch, train=train,
+                rngs={'dropout': rng} if train else None)
         y_hists, masks = self._targets(batch)
         cw = None
         if self.class_weight is not None:
@@ -119,7 +129,7 @@ class SemanticTask:
             logits, y_hists, self.multi_stage_loss_lambdas,
             loss_type=self.loss_type, class_weight=cw,
             node_masks=masks)
-        return loss, logits
+        return loss, (logits, new_stats)
 
     def _targets(self, batch):
         """Per supervised level: (y_hist, node_mask). Supervised levels
@@ -136,9 +146,12 @@ class SemanticTask:
     # -- jitted steps ----------------------------------------------------
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, state, batch, rng):
-        (loss, logits), grads = jax.value_and_grad(
-            self._loss_fn, has_aux=True)(state.params, batch, rng)
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            self._loss_fn, has_aux=True)(
+            state.params, batch, rng, batch_stats=state.batch_stats)
         state = state.apply_gradients(grads=grads)
+        if new_stats is not None:
+            state = state.replace(batch_stats=new_stats)
         cm = confusion_matrix_from_histogram(
             logits[0], batch[1].y, self.num_classes,
             node_mask=batch[1].node_mask)
@@ -146,8 +159,9 @@ class SemanticTask:
 
     @partial(jax.jit, static_argnums=0)
     def eval_step(self, state, batch):
-        loss, logits = self._loss_fn(
-            state.params, batch, jax.random.PRNGKey(0), train=False)
+        loss, (logits, _) = self._loss_fn(
+            state.params, batch, jax.random.PRNGKey(0), train=False,
+            batch_stats=state.batch_stats)
         cm = confusion_matrix_from_histogram(
             logits[0], batch[1].y, self.num_classes,
             node_mask=batch[1].node_mask)

@@ -123,8 +123,15 @@ class SPT(nn.Module):
                          len(self.down_dim) - 1)
 
     def _norm_index(self, level):
-        # 'graph' mode: the per-node graph id (reference
-        # Data.norm_index, src/data/data.py:103)
+        """Grouping index for the index-based norms (reference
+        Data.norm_index, src/data/data.py:103 — norm_mode selects
+        'graph'/'node'/'segment' grouping; every reference config uses
+        'graph', configs/model/semantic/spt.yaml:34, which is what the
+        padded layout supports: the per-node graph id)."""
+        if self.norm_mode != 'graph':
+            raise NotImplementedError(
+                f"norm_mode={self.norm_mode!r}: only 'graph' (the "
+                "reference default) is supported in the padded layout")
         return level.batch
 
     @nn.compact

@@ -54,8 +54,12 @@ class MLP(nn.Module):
                          name=f'linear_{i - 1}')(x)
             last = i == n_layers
             if self.norm is not None and (self.last_norm or not last):
-                x = self._make_norm(dims[i], f'norm_{i - 1}')(
-                    x, batch=batch, mask=mask)
+                norm = self._make_norm(dims[i], f'norm_{i - 1}')
+                from .norm import BatchNorm
+                if isinstance(norm, BatchNorm):
+                    x = norm(x, batch=batch, mask=mask, train=train)
+                else:
+                    x = norm(x, batch=batch, mask=mask)
             if self.activation is not None and \
                     (self.last_activation or not last):
                 x = self.activation(x)
@@ -76,6 +80,9 @@ class MLP(nn.Module):
                                 shard_axis=self.shard_axis, name=name)
         if self.norm == 'group':
             return GroupNorm(dim, num_graphs=self.num_graphs, name=name)
+        if self.norm == 'batch':
+            from .norm import BatchNorm
+            return BatchNorm(dim, shard_axis=self.shard_axis, name=name)
         raise ValueError(f'Unknown norm {self.norm}')
 
     @property

@@ -7,6 +7,8 @@ All index-based norms take `(x, batch, mask)` where `batch` is a graph
 id per node and `mask` flags real (non-padding) rows; statistics ignore
 padded rows, matching the reference's ragged semantics exactly.
 """
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -168,10 +170,16 @@ class GroupNorm(nn.Module):
 
 class BatchNorm(nn.Module):
     """1D batch norm over nodes with running stats (reference
-    src/nn/norm.py:20). Padded rows excluded from statistics."""
+    src/nn/norm.py:20). Padded rows excluded from statistics. With
+    `shard_axis` set (graph-partition parallelism) the statistics are
+    psum'd across node shards — the sync-batchnorm analogue of the
+    reference's DDP `sync_batchnorm: True` (configs/trainer/ddp.yaml)."""
     num_features: int
     momentum: float = 0.9
     eps: float = 1e-5
+    # accepted for signature parity with the index-based norms
+    num_graphs: int = 1
+    shard_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, batch=None, mask=None, train: bool = True):
@@ -184,12 +192,20 @@ class BatchNorm(nn.Module):
         if train:
             if mask is not None:
                 m = mask.astype(x.dtype)[:, None]
-                n = jnp.maximum(m.sum(), 1)
-                mean = (x * m).sum(0) / n
-                var = ((x - mean) ** 2 * m).sum(0) / n
+                s = (x * m).sum(0)
+                ss = (x * x * m).sum(0)
+                n = m.sum()
             else:
-                mean = x.mean(0)
-                var = x.var(0)
+                s = x.sum(0)
+                ss = (x * x).sum(0)
+                n = jnp.asarray(x.shape[0], x.dtype)
+            if self.shard_axis is not None:
+                s = jax.lax.psum(s, self.shard_axis)
+                ss = jax.lax.psum(ss, self.shard_axis)
+                n = jax.lax.psum(n, self.shard_axis)
+            n = jnp.maximum(n, 1)
+            mean = s / n
+            var = jnp.maximum(ss / n - mean * mean, 0.0)
             if not self.is_initializing():
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1 - self.momentum) * mean)

@@ -5,18 +5,21 @@ shortcut re-bases on the SA output (reference transformer.py:240-244).
 from typing import Callable, Optional
 
 import jax
+from functools import partial
+
 import jax.numpy as jnp
 from flax import linen as nn
 
 from .attention import SelfAttentionBlock
 from .mlp import FFN, leaky_relu
-from .norm import GraphNorm, LayerNorm, InstanceNorm, GroupNorm
+from .norm import (GraphNorm, LayerNorm, InstanceNorm, GroupNorm,
+                   BatchNorm)
 
 __all__ = ['TransformerBlock', 'DropPath']
 
 _NORMS = {'graph_norm': GraphNorm, 'layer': LayerNorm,
           'instance': InstanceNorm, 'group': GroupNorm,
-          'graph': GraphNorm}
+          'graph': GraphNorm, 'batch': BatchNorm}
 
 
 class DropPath(nn.Module):
@@ -62,9 +65,14 @@ class TransformerBlock(nn.Module):
     def __call__(self, x, norm_index, nbr_idx=None, nbr_mask=None,
                  edge_feat=None, mask=None, train=True):
         def make_norm(name):
-            return _NORMS[self.norm](self.dim, num_graphs=self.num_graphs,
+            norm = _NORMS[self.norm](self.dim,
+                                     num_graphs=self.num_graphs,
                                      shard_axis=self.shard_axis,
                                      name=name)
+            if self.norm == 'batch':
+                # running-stats norm needs the train flag
+                return partial(norm, train=train)
+            return norm
 
         drop_path = (DropPath(self.drop_path)
                      if self.drop_path is not None and self.drop_path > 0

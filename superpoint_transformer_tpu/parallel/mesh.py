@@ -56,7 +56,7 @@ def make_dp_train_step(task, mesh):
             lambda x: x[0] if jnp.ndim(x) > 0 else x, batch)
         my = jax.lax.axis_index('data')
         step_rng = jax.random.fold_in(rng, my)
-        (loss, logits), grads = jax.value_and_grad(
+        (loss, (logits, _)), grads = jax.value_and_grad(
             task._loss_fn, has_aux=True)(
             state.params, local, step_rng)
         grads = jax.lax.pmean(grads, 'data')

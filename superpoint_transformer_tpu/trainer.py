@@ -136,9 +136,13 @@ class Trainer:
         import orbax.checkpoint as ocp
         path = self._ckpt_dir(name)
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, {'params': state.params,
-                          'opt_state': state.opt_state,
-                          'step': state.step}, force=True)
+        payload = {'params': state.params,
+                   'opt_state': state.opt_state,
+                   'step': state.step}
+        if getattr(state, 'batch_stats', None) is not None:
+            # BatchNorm running statistics (norm_mode='batch' configs)
+            payload['batch_stats'] = state.batch_stats
+        ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
         meta = {'version': __version__, 'epoch': self.epoch,
                 'best_miou': self.best_miou,
@@ -152,6 +156,8 @@ class Trainer:
         ckptr = ocp.StandardCheckpointer()
         target = {'params': state.params, 'opt_state': state.opt_state,
                   'step': state.step}
+        if getattr(state, 'batch_stats', None) is not None:
+            target['batch_stats'] = state.batch_stats
         restored = ckptr.restore(path, target)
         meta_path = osp.join(path, 'spt_meta.json')
         if osp.exists(meta_path):
@@ -159,9 +165,12 @@ class Trainer:
                 meta = json.load(f)
             self.epoch = int(meta.get('epoch', 0))
             self.best_miou = float(meta.get('best_miou', -1))
+        kw = {}
+        if 'batch_stats' in restored:
+            kw['batch_stats'] = restored['batch_stats']
         return state.replace(params=restored['params'],
                              opt_state=restored['opt_state'],
-                             step=restored['step'])
+                             step=restored['step'], **kw)
 
     # -- loops ----------------------------------------------------------
     def fit(self, state, train_loader, val_loader=None, rng=None):

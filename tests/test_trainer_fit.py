@@ -69,6 +69,38 @@ def test_fit_and_checkpoint(tmp_path):
     assert np.isfinite(m['miou'])
 
 
+def test_checkpoint_batch_stats_roundtrip(tmp_path):
+    """BatchNorm running statistics (norm_mode='batch') survive the
+    checkpoint round trip."""
+    import dataclasses
+    nags = [random_nag(seed=s, n_points=300) for s in range(2)]
+    cfg = BatchConfig(sample_graph_r=-1, sample_segment_ratio=0,
+                      max_num_nodes=10_000)
+    cfg = discover_caps([nags], cfg, rng=np.random.default_rng(0))
+    net = dataclasses.replace(tiny_model(), norm='batch',
+                              mlp_norm='batch')
+    task = SemanticTask(net=net, num_classes=13, total_steps=10,
+                        warmup_steps=1)
+    from superpoint_transformer_tpu.transforms.prepare import (
+        prepare_batch)
+    example = prepare_batch([n.clone() for n in nags], cfg,
+                            train=True, rng=np.random.default_rng(0))
+    state = task.init_state(jax.random.PRNGKey(0), example)
+    assert state.batch_stats, 'batch norm model must carry batch_stats'
+    state, _ = task.train_step(state, example, jax.random.PRNGKey(1))
+
+    trainer = Trainer(task=task, batch_cfg=cfg,
+                      output_dir=str(tmp_path), max_epochs=1)
+    trainer.save_checkpoint(state, 'last')
+    state2 = task.init_state(jax.random.PRNGKey(7), example)
+    state2 = trainer.load_checkpoint(state2, 'last')
+    a = jax.tree_util.tree_leaves(state.batch_stats)
+    b = jax.tree_util.tree_leaves(state2.batch_stats)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=1e-7)
+
+
 def test_early_stopping_and_lr_logging(tmp_path):
     """With a ~zero learning rate the monitored val mIoU never
     improves after the first validation, so patience=1 stops the fit
