@@ -19,7 +19,15 @@ import jax.numpy as jnp
 __all__ = ['ce_loss', 'ce_with_histogram', 'multi_stage_loss']
 
 
-def ce_loss(logits, y_hist, class_weight=None, node_mask=None):
+def _psum2(num, den, axis_name):
+    if axis_name is None:
+        return num, den
+    return (jax.lax.psum(num, axis_name),
+            jax.lax.psum(den, axis_name))
+
+
+def ce_loss(logits, y_hist, class_weight=None, node_mask=None,
+            axis_name=None):
     """Plain CE against the DOMINANT histogram label (reference
     loss_type='ce*' first stage: criterion(a, b.argmax(1))); matches
     torch.nn.CrossEntropyLoss(weight, ignore_index=C) semantics
@@ -36,11 +44,12 @@ def ce_loss(logits, y_hist, class_weight=None, node_mask=None):
         w = class_weight[y_safe] * valid
     else:
         w = valid.astype(logits.dtype)
-    denom = jnp.maximum(w.sum(), 1e-12)
-    return (nll * w).sum() / denom
+    num, den = _psum2((nll * w).sum(), w.sum(), axis_name)
+    return num / jnp.maximum(den, 1e-12)
 
 
-def ce_with_histogram(logits, y_hist, class_weight=None, node_mask=None):
+def ce_with_histogram(logits, y_hist, class_weight=None,
+                      node_mask=None, axis_name=None):
     """KL-style loss against the full label histogram (reference
     loss_with_target_histogram, src/utils/loss.py:25)."""
     C = logits.shape[1]
@@ -56,17 +65,19 @@ def ce_with_histogram(logits, y_hist, class_weight=None, node_mask=None):
     else:
         per = -(y * logp).sum()
     # reference normalizes by TOTAL mass including void entries
-    denom = jnp.maximum(y.sum() + void.sum(), 1e-12)
-    return per / denom
+    num, den = _psum2(per, y.sum() + void.sum(), axis_name)
+    return num / jnp.maximum(den, 1e-12)
 
 
 def multi_stage_loss(logits_list, y_hist_list, lambdas,
                      loss_type='ce_kl', class_weight=None,
-                     node_masks=None):
+                     node_masks=None, axis_name=None):
     """Weighted multi-level loss (reference MultiLoss + model_step).
     loss_type in {'ce', 'wce', 'kl', 'ce_kl', 'wce_kl'}; the '*_kl'
     variants use plain/weighted CE on the first (level-1) stage and the
-    histogram loss above it."""
+    histogram loss above it. `axis_name` makes every loss a global
+    ratio-of-psums so node-sharded (graph-partition-parallel) training
+    matches the unsharded loss exactly."""
     node_masks = node_masks or [None] * len(logits_list)
     total = 0.0
     for i, (lam, logits, y_hist, mask) in enumerate(zip(
@@ -75,35 +86,30 @@ def multi_stage_loss(logits_list, y_hist_list, lambdas,
             (loss_type == 'ce_kl' and class_weight is not None) else None
         if loss_type == 'ce':
             li = ce_loss(logits, y_hist, class_weight=None,
-                         node_mask=mask)
+                         node_mask=mask, axis_name=axis_name)
         elif loss_type == 'wce':
-            li = _dominant_hist_loss(logits, y_hist, class_weight, mask)
+            li = _dominant_hist_loss(logits, y_hist, class_weight, mask,
+                                     axis_name=axis_name)
         elif loss_type == 'kl':
             li = ce_with_histogram(logits, y_hist, class_weight=cw,
-                                   node_mask=mask)
-        elif loss_type == 'ce_kl':
-            if i == 0:
-                li = ce_loss(logits, y_hist, class_weight=cw,
-                             node_mask=mask)
-                total = total + li
-                continue
+                                   node_mask=mask, axis_name=axis_name)
+        elif loss_type == 'ce_kl' and i == 0:
+            li = ce_loss(logits, y_hist, class_weight=cw,
+                         node_mask=mask, axis_name=axis_name)
+        elif loss_type == 'wce_kl' and i == 0:
+            li = _dominant_hist_loss(logits, y_hist, class_weight, mask,
+                                     axis_name=axis_name)
+        elif loss_type in ('ce_kl', 'wce_kl'):
             li = ce_with_histogram(logits, y_hist, class_weight=cw,
-                                   node_mask=mask)
-        elif loss_type == 'wce_kl':
-            if i == 0:
-                li = _dominant_hist_loss(logits, y_hist, class_weight,
-                                         mask)
-                total = total + li
-                continue
-            li = ce_with_histogram(logits, y_hist, class_weight=cw,
-                                   node_mask=mask)
+                                   node_mask=mask, axis_name=axis_name)
         else:
             raise ValueError(f'Unknown loss_type {loss_type}')
         total = total + lam * li
     return total
 
 
-def _dominant_hist_loss(logits, y_hist, class_weight, mask):
+def _dominant_hist_loss(logits, y_hist, class_weight, mask,
+                        axis_name=None):
     """'wce': histogram mass collapsed onto the dominant label
     (reference model_step 'wce' branch: y_hist_dominant)."""
     y_dom = jnp.argmax(y_hist, axis=1)
@@ -111,4 +117,5 @@ def _dominant_hist_loss(logits, y_hist, class_weight, mask):
     dom_hist = jnp.zeros_like(y_hist).at[
         jnp.arange(y_hist.shape[0]), y_dom].set(mass)
     return ce_with_histogram(
-        logits, dom_hist, class_weight=class_weight, node_mask=mask)
+        logits, dom_hist, class_weight=class_weight, node_mask=mask,
+        axis_name=axis_name)

@@ -16,7 +16,7 @@ from jax.experimental.shard_map import shard_map
 
 __all__ = ['make_data_mesh', 'stack_batches', 'shard_batch',
            'make_dp_train_step', 'make_shard_mesh',
-           'make_sharded_forward']
+           'make_sharded_forward', 'make_sharded_train_step']
 
 
 def make_data_mesh(devices=None):
@@ -80,6 +80,61 @@ def make_dp_train_step(task, mesh):
         return sharded(state, stacked_batch, rng)
 
     return step
+
+
+def make_sharded_train_step(task, mesh):
+    """Graph-partition-parallel TRAINING step: one giant cloud's nodes
+    sharded across the 'shard' mesh axis (shard_padded_nag layout, the
+    model built with shard_axis='shard').
+
+    Exactness: every loss term is a ratio of psum'd numerator /
+    denominator (loss/semantic.py `axis_name`), so the sharded loss
+    equals the unsharded one; per-device grads cover only the local
+    node contributions, so they are psum'd before the (replicated)
+    optimizer update — the same recipe as data parallelism, but over
+    node shards of a single example (no reference equivalent;
+    SURVEY §2.11 free design space).
+    """
+    from ..metrics.semantic import confusion_matrix_from_histogram
+    from ..loss.semantic import multi_stage_loss
+
+    def per_device(state, batch, rng):
+        local = jax.tree_util.tree_map(
+            lambda x: x[0] if jnp.ndim(x) > 0 else x, batch)
+        my = jax.lax.axis_index('shard')
+        step_rng = jax.random.fold_in(rng, my)
+
+        def loss_fn(params):
+            variables = {'params': params}
+            logits = task.model.apply(
+                variables, local, train=True,
+                rngs={'dropout': step_rng})
+            y_hists, masks = task._targets(local)
+            cw = None
+            if task.class_weight is not None:
+                cw = jnp.asarray(task.class_weight, jnp.float32)
+            loss = multi_stage_loss(
+                logits, y_hists, task.multi_stage_loss_lambdas,
+                loss_type=task.loss_type, class_weight=cw,
+                node_masks=masks, axis_name='shard')
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        grads = jax.lax.psum(grads, 'shard')
+        cm = confusion_matrix_from_histogram(
+            logits[0], local[1].y, task.num_classes,
+            node_mask=local[1].node_mask)
+        cm = jax.lax.psum(cm, 'shard')
+        new_state = state.apply_gradients(grads=grads)
+        return new_state, {'loss': loss, 'confmat': cm}
+
+    sharded = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P('shard'), P()),
+        out_specs=(P(), P()),
+        check_rep=False)
+    return jax.jit(sharded)
 
 
 def make_shard_mesh(devices=None):

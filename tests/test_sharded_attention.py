@@ -102,3 +102,92 @@ def test_sharded_forward_matches_single_device():
         capture_output=True, text=True, timeout=1200)
     assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-3000:])
     assert 'SHARDED OK' in out.stdout
+
+
+_TRAIN_SCRIPT = r'''
+import numpy as np, jax, jax.numpy as jnp
+from superpoint_transformer_tpu.utils.synthetic import random_nag
+from superpoint_transformer_tpu.transforms import BatchConfig, prepare_batch
+from superpoint_transformer_tpu.transforms import runtime as T
+from superpoint_transformer_tpu.parallel import (
+    make_shard_mesh, make_sharded_train_step, shard_padded_nag)
+from superpoint_transformer_tpu.models.semantic import SemanticTask
+from superpoint_transformer_tpu.models.spt import SPT
+
+def build(shard_axis=None):
+    return SPT(point_mlp=(12, 16, 32), down_dim=(16, 16),
+               down_in_mlp=((4 + 32, 16), (4 + 16, 16)),
+               down_num_heads=2, down_num_blocks=1, up_dim=(16,),
+               up_in_mlp=((4 + 16 + 16, 16),), h_edge_mlp=(18, 8),
+               in_rpe_dim=8, qk_dim=2, no_ffn=True, k_rpe=True,
+               q_rpe=True, v_rpe=True, use_diameter_parent=True,
+               output_stage_wise=True, num_graphs=1,
+               shard_axis=shard_axis)
+
+nag = random_nag(seed=0, n_points=1200, n_l1=96, n_l2=24)
+cfg = BatchConfig(sample_graph_r=-1, sample_segment_ratio=0)
+batch1 = prepare_batch([nag.clone()], cfg, train=False)
+
+task = SemanticTask(net=build(None), num_classes=13, lr=0.01,
+                    total_steps=10, warmup_steps=0)
+state = task.init_state(jax.random.PRNGKey(0), batch1)
+p0 = jax.device_get(state.params)  # train_step donates the state
+state1, met1 = task.train_step(state, batch1, jax.random.PRNGKey(5))
+loss1 = float(met1['loss']); cm1 = np.asarray(met1['confmat'])
+
+nag2 = nag.clone()
+nag2 = T.node_size(nag2, low=0)
+nag2 = T.on_the_fly_horizontal_edge_features(nag2)
+nag2 = T.add_self_loops(nag2)
+nag2.add_keys_to(0, list(cfg.point_hf), to='x', delete_after=False)
+for i in nag2.levels:
+    nag2[i]['batch'] = np.zeros(nag2[i].num_nodes, dtype=np.int64)
+n_dev = 4
+shards = shard_padded_nag(nag2, n_dev, num_classes=cfg.num_classes)
+mesh = make_shard_mesh(jax.devices()[:n_dev])
+task_sh = SemanticTask(net=build('shard'), num_classes=13, lr=0.01,
+                       total_steps=10, warmup_steps=0)
+# re-create the state so `apply_gradients` uses an un-donated buffer
+state_b = task.init_state(jax.random.PRNGKey(0), batch1)
+step = make_sharded_train_step(task_sh, mesh)
+state2, met2 = step(state_b, shards, jax.random.PRNGKey(5))
+loss2 = float(met2['loss']); cm2 = np.asarray(met2['confmat'])
+
+print('loss', loss1, loss2)
+assert abs(loss1 - loss2) / max(abs(loss1), 1e-6) < 2e-3, (loss1, loss2)
+assert (cm1 == cm2).all(), 'confusion matrices differ'
+
+# parameter updates must agree (cosine similarity of the deltas)
+d1 = jnp.concatenate([x.reshape(-1) for x in jax.tree_util.tree_leaves(
+    jax.tree_util.tree_map(lambda a, b: np.asarray(a) - b,
+                           state1.params, p0))])
+d2 = jnp.concatenate([x.reshape(-1) for x in jax.tree_util.tree_leaves(
+    jax.tree_util.tree_map(lambda a, b: np.asarray(a) - b,
+                           state2.params, p0))])
+cos = float((d1 @ d2) / (jnp.linalg.norm(d1) * jnp.linalg.norm(d2)))
+print('update cosine:', cos)
+# Adam rescales per-parameter, amplifying float-ordering noise in the
+# psum'd grads; the loss matches at ~2e-6 rel and the confusion
+# matrices are identical, so 0.98 update alignment is the right bar
+assert cos > 0.98, cos
+print('SHARDED TRAIN OK')
+'''
+
+
+@pytest.mark.slow
+def test_sharded_train_step_matches_single_device():
+    """Graph-partition-parallel TRAINING: the node-sharded train step
+    (ratio-of-psums losses + psum'd grads) reproduces the single-device
+    loss, confusion matrix and parameter update."""
+    env = dict(os.environ)
+    env.pop('PALLAS_AXON_POOL_IPS', None)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['XLA_FLAGS'] = (env.get('XLA_FLAGS', '')
+                        + ' --xla_force_host_platform_device_count=8')
+    out = subprocess.run(
+        [sys.executable, '-c', _TRAIN_SCRIPT],
+        env=env, cwd=os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))),
+        capture_output=True, text=True, timeout=1200)
+    assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-3000:])
+    assert 'SHARDED TRAIN OK' in out.stdout
