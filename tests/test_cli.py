@@ -62,3 +62,23 @@ def test_eval_s3dis_6fold_cli(tmp_path):
     # all six held-out areas contributed points
     per_fold_mass = res['confmat'].sum()
     assert per_fold_mass > 0
+
+
+def test_tune_random_search(tmp_path):
+    """tune.py random search: samples the declared space, runs train
+    trials, writes tune_results.json, reports the best trial
+    (reference hparams_search/Optuna surface analogue)."""
+    import tune as tune_cli
+    root = str(tmp_path / 's3dis')
+    make_raw_s3dis(root)
+    out = str(tmp_path / 'out')
+    best = tune_cli.main(
+        _overrides(root, out)
+        + ['n_trials=2', f'tune_dir={tmp_path}/tune',
+           'space.model.optimizer.lr=loguniform(1e-3,1e-1)'])
+    assert best is not None and np.isfinite(best['score'])
+    import json
+    res = json.load(open(tmp_path / 'tune' / 'tune_results.json'))
+    assert len(res) == 2
+    lrs = [r['params']['model.optimizer.lr'] for r in res]
+    assert all(1e-3 <= v <= 1e-1 for v in lrs)

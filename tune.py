@@ -59,10 +59,13 @@ def sample(space, rng):
 def main(argv=None):
     argv = list(argv if argv is not None else sys.argv[1:])
     space, passthrough, n_trials, seed = {}, [], 10, 0
+    out_root = 'outputs/tune'
     for a in argv:
         key, _, val = a.partition('=')
         if key == 'n_trials':
             n_trials = int(val)
+        elif key == 'tune_dir':
+            out_root = val
         elif key == 'seed':
             seed = int(val)
             passthrough.append(a)
@@ -75,7 +78,6 @@ def main(argv=None):
 
     import train as train_cli
     rng = np.random.default_rng(seed)
-    out_root = 'outputs/tune'
     results = []
     for t in range(n_trials):
         params = sample(space, rng)
