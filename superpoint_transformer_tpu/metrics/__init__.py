@@ -8,3 +8,4 @@ from .mean_average_precision import (
 from .oracle import (
     semantic_segmentation_oracle, panoptic_segmentation_oracle,
     instance_segmentation_oracle)
+from .weighted_li import WeightedL1Error, WeightedL2Error

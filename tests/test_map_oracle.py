@@ -99,3 +99,24 @@ def test_instance_oracle():
     inst = _toy_instance_data()
     out = instance_segmentation_oracle(inst, num_classes=2)
     assert out['map_50'] == pytest.approx(1.0)
+
+
+def test_weighted_li_error_metrics():
+    """WeightedL1/L2Error accumulators (reference
+    src/metrics/weighted_li.py): weighted means across updates."""
+    from superpoint_transformer_tpu.metrics import (
+        WeightedL1Error, WeightedL2Error)
+    m1, m2 = WeightedL1Error(), WeightedL2Error()
+    p = np.array([[0., 0.], [1., 1.]])
+    t = np.array([[1., 0.], [1., 3.]])
+    w = np.array([1.0, 3.0])
+    m1.update(p, t, w)
+    m2.update(p, t, w)
+    # L1: per-row |err| sums = [1, 2] -> (1*1 + 2*3)/4
+    assert abs(m1.compute() - 7 / 4) < 1e-12
+    # L2: per-row sq sums = [1, 4] -> (1*1 + 4*3)/4
+    assert abs(m2.compute() - 13 / 4) < 1e-12
+    m2.update(p, t)  # unweighted second update accumulates
+    assert abs(m2.compute() - (13 + 5) / 6) < 1e-12
+    m2.reset()
+    assert m2.weight == 0
