@@ -114,6 +114,10 @@ class Trainer:
     # the monitored metric (reference EarlyStopping callback,
     # configs/callbacks/default.yaml patience: 500; <=0 disables)
     early_stopping_patience: int = -1
+    # dump the predictions of this val/test batch index each epoch to
+    # <output_dir>/predictions/ (reference track_val_idx/track_test_idx
+    # + track_batch, src/models/semantic.py:1133; -1 disables, -2 = all)
+    track_val_idx: int = -1
     # logger backends: any of 'csv', 'tensorboard'
     loggers: tuple = ('csv',)
 
@@ -281,7 +285,7 @@ class Trainer:
         cm = ConfusionMatrix(self.task.num_classes)
         losses = []
         np_rng = np.random.default_rng(self.seed)
-        for nags in loader:
+        for i_batch, nags in enumerate(loader):
             if isinstance(nags, PaddedNAG):
                 if tta_runs > 0:
                     raise ValueError(
@@ -307,6 +311,8 @@ class Trainer:
                     node_mask=batch[1].node_mask)))
             else:
                 cm.merge(np.asarray(out['confmat']))
+            if self.track_val_idx == -2 or i_batch == self.track_val_idx:
+                self._track_batch(batch, out, split, i_batch)
         m = cm.all_metrics()
         row = {'epoch': self.epoch, 'split': split,
                'loss': float(np.mean(losses)) if losses else None,
@@ -320,6 +326,21 @@ class Trainer:
         # reference src/utils/semantic.py:73)
         m['confmat'] = cm.confmat.copy()
         return m
+
+    def _track_batch(self, batch, out, split, i_batch):
+        """Dump one batch's level-1 predictions for inspection
+        (reference track_batch, src/models/semantic.py:1133)."""
+        d = osp.join(self.output_dir, 'predictions')
+        os.makedirs(d, exist_ok=True)
+        n1 = int(np.asarray(batch[1].num_nodes))
+        logits = np.asarray(out['logits_level1'])[:n1]
+        y = batch[1].y
+        payload = dict(logits=logits, pred=logits.argmax(-1),
+                       pos=np.asarray(batch[1].pos)[:n1])
+        if y is not None:
+            payload['y_hist'] = np.asarray(y)[:n1]
+        np.savez(osp.join(d, f'{split}_e{self.epoch}_b{i_batch}.npz'),
+                 **payload)
 
     def test(self, state, loader):
         return self.validate(state, loader, split='test')

@@ -204,3 +204,30 @@ def test_training_improves_miou():
     # (observed: 2.6 -> 14.5 over 15 epochs)
     assert max(mious[-3:]) > 10, mious
     assert max(mious[-3:]) > 2.5 * mious[0], mious
+
+
+def test_track_val_idx_dumps_predictions(tmp_path):
+    """track_val_idx dumps the chosen validation batch's level-1
+    predictions (reference track_batch artifacts)."""
+    nags = [random_nag(seed=s, n_points=300) for s in range(2)]
+    cfg = BatchConfig(sample_graph_r=-1, sample_segment_ratio=0,
+                      max_num_nodes=10_000)
+    cfg = discover_caps([nags], cfg, rng=np.random.default_rng(0))
+    task = SemanticTask(net=tiny_model(), num_classes=13,
+                        total_steps=4, warmup_steps=1)
+    from superpoint_transformer_tpu.transforms.prepare import (
+        prepare_batch)
+    example = prepare_batch([n.clone() for n in nags], cfg,
+                            train=True, rng=np.random.default_rng(0))
+    state = task.init_state(jax.random.PRNGKey(0), example)
+    trainer = Trainer(task=task, batch_cfg=cfg,
+                      output_dir=str(tmp_path), max_epochs=1,
+                      track_val_idx=0)
+    trainer.validate(state, _Loader(nags))
+    import glob
+    files = glob.glob(str(tmp_path / 'predictions' / 'val_e0_b0.npz'))
+    assert files
+    z = np.load(files[0])
+    assert z['logits'].shape[1] == 13
+    assert z['pred'].shape == z['logits'].shape[:1]
+    assert z['pos'].shape[1] == 3

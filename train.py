@@ -103,6 +103,7 @@ def main(argv=None):
         early_stopping_patience=int(
             cfg.trainer.get('early_stopping_patience', -1)),
         loggers=tuple(cfg.trainer.get('logger', ('csv',))),
+        track_val_idx=int(cfg.trainer.get('track_val_idx', -1)),
         seed=seed, **panoptic_kwargs)
     # fan host batch-prep out over worker processes (the jitted step
     # is ~ms; the host augment/sample/pad pipeline is the train-loop
