@@ -297,8 +297,12 @@ def pad_nag(nag, num_classes=None, node_caps=None, k_caps=None,
             kw['nbr_mask'] = full_mask
             ea = d.get('edge_attr')
             if ea is not None:
+                # invalid slots keep whatever edge 0 carries — finite
+                # garbage is fine: attention masks compat AND attn by
+                # nbr_mask before any edge_feat contribution survives,
+                # and the [N,K,De] mask multiply costs real host time
                 ef = np.zeros((cap, K, ea.shape[1]), dtype=np.float32)
-                ef[:n] = ea[edge_id] * nbr_mask[..., None]
+                ef[:n] = ea.astype(np.float32, copy=False)[edge_id]
                 kw['edge_feat'] = ef
 
         if 'coords' in d:
