@@ -214,3 +214,90 @@ def test_ply_roundtrip(tmp_path):
     back = read_ply(p)['vertex']
     np.testing.assert_allclose(back['x'], d['x'], rtol=1e-6)
     np.testing.assert_array_equal(back['sem_class'], d['sem_class'])
+
+
+def test_read_dales_tile(tmp_path):
+    """DALES PLY reader: intensity normalization, semantic remap,
+    instances (reference read_dales_tile, src/datasets/dales.py)."""
+    from superpoint_transformer_tpu.datasets.dales import (
+        read_dales_tile, DALES_ID2TRAINID)
+    rng = np.random.default_rng(0)
+    n = 200
+    d = {'x': rng.uniform(0, 10, n).astype(np.float32),
+         'y': rng.uniform(0, 10, n).astype(np.float32),
+         'z': rng.uniform(0, 5, n).astype(np.float32),
+         'intensity': rng.uniform(0, 60000, n).astype(np.float32),
+         'sem_class': rng.integers(0, 9, n).astype(np.uint8),
+         'ins_class': rng.integers(0, 5, n).astype(np.int32)}
+    p = str(tmp_path / 'tile.ply')
+    write_ply(p, d)
+    data = read_dales_tile(p, instance=True)
+    assert data.num_nodes == n
+    assert data.intensity.shape == (n, 1)
+    assert (data.intensity >= 0).all() and (data.intensity <= 1).all()
+    np.testing.assert_array_equal(
+        data.y, DALES_ID2TRAINID[d['sem_class'].astype(np.int64)])
+    np.testing.assert_array_equal(data.obj, d['ins_class'])
+
+
+def test_read_kitti360_window(tmp_path):
+    """KITTI-360 window reader: rgb bytes, semantic id->train remap,
+    instances (reference read_kitti360_window)."""
+    from superpoint_transformer_tpu.datasets.kitti360 import (
+        read_kitti360_window, _ID2TRAIN)
+    rng = np.random.default_rng(0)
+    n = 150
+    sem = rng.integers(0, 45, n).astype(np.int32)
+    d = {'x': rng.uniform(0, 50, n).astype(np.float32),
+         'y': rng.uniform(0, 50, n).astype(np.float32),
+         'z': rng.uniform(0, 10, n).astype(np.float32),
+         'red': rng.integers(0, 255, n).astype(np.uint8),
+         'green': rng.integers(0, 255, n).astype(np.uint8),
+         'blue': rng.integers(0, 255, n).astype(np.uint8),
+         'semantic': sem,
+         'instance': rng.integers(0, 9, n).astype(np.int32)}
+    p = str(tmp_path / 'win.ply')
+    write_ply(p, d)
+    data = read_kitti360_window(p, instances=True)
+    assert data.num_nodes == n
+    assert data.rgb.dtype == np.uint8
+    np.testing.assert_array_equal(
+        data.y, _ID2TRAIN[np.clip(sem.astype(np.int64), 0, 255)])
+    assert data.obj is not None
+
+
+def test_read_scannet_scan(tmp_path):
+    """ScanNet scan-dir reader: mesh + NYU40 labels + instance
+    aggregation JSONs (reference read_scannet_* helpers)."""
+    import json
+    from superpoint_transformer_tpu.datasets.scannet import (
+        read_scannet_scan, _NYU40_TO_TRAIN)
+    rng = np.random.default_rng(0)
+    n = 120
+    scan = 'scene0000_00'
+    sdir = tmp_path / scan
+    sdir.mkdir()
+    base = {'x': rng.uniform(0, 6, n).astype(np.float32),
+            'y': rng.uniform(0, 6, n).astype(np.float32),
+            'z': rng.uniform(0, 3, n).astype(np.float32),
+            'red': rng.integers(0, 255, n).astype(np.uint8),
+            'green': rng.integers(0, 255, n).astype(np.uint8),
+            'blue': rng.integers(0, 255, n).astype(np.uint8)}
+    write_ply(str(sdir / f'{scan}_vh_clean_2.ply'), base)
+    nyu = rng.integers(0, 41, n).astype(np.uint16)
+    write_ply(str(sdir / f'{scan}_vh_clean_2.labels.ply'),
+              {**base, 'label': nyu})
+    seg_of_vertex = (np.arange(n) // 10).tolist()
+    with open(sdir / f'{scan}_vh_clean_2.0.010000.segs.json', 'w') as f:
+        json.dump({'segIndices': seg_of_vertex}, f)
+    with open(sdir / f'{scan}.aggregation.json', 'w') as f:
+        json.dump({'segGroups': [
+            {'objectId': 0, 'segments': [0, 1]},
+            {'objectId': 1, 'segments': [2, 3, 4]}]}, f)
+    data = read_scannet_scan(str(sdir), instances=True)
+    assert data.num_nodes == n
+    np.testing.assert_array_equal(
+        data.y, _NYU40_TO_TRAIN[np.clip(nyu.astype(np.int64), 0, 40)])
+    assert (data.obj[:20] == 0).all()
+    assert (data.obj[20:50] == 1).all()
+    assert (data.obj[50:] == -1).all()
