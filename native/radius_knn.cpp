@@ -19,6 +19,9 @@
 #include <algorithm>
 #include <unordered_map>
 #include <limits>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 namespace {
 struct CellKey {
@@ -113,6 +116,13 @@ extern "C" void spt_radius_knn(
                             (int64_t)std::floor(hi[1] * inv),
                             (int64_t)std::floor(hi[2] * inv)};
 
+    // queries are independent: parallelize across cores (the role of
+    // FRNN's GPU parallelism / cut-pursuit's OpenMP in the reference).
+    // OMP_NUM_THREADS=1 in per-cloud worker processes avoids
+    // oversubscription (datasets/base.py:_preprocess_worker_init).
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 64)
+#endif
     for (int64_t q = 0; q < n_query; ++q) {
         const float qx = xyz_query[q * 3], qy = xyz_query[q * 3 + 1],
                     qz = xyz_query[q * 3 + 2];

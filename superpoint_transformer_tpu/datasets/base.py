@@ -28,9 +28,12 @@ __all__ = ['BaseDataset']
 def _preprocess_worker_init():
     """Keep preprocessing workers off any accelerator: the per-cloud
     pipeline is the host numpy/C++ path, and N workers must never race
-    for the (single) TPU chip."""
+    for the (single) TPU chip. One OpenMP thread per worker — the
+    per-cloud fan-out is the outer parallelism (the native KNN uses
+    OpenMP when running single-process)."""
     os.environ['JAX_PLATFORMS'] = 'cpu'
     os.environ.pop('PALLAS_AXON_POOL_IPS', None)
+    os.environ.setdefault('OMP_NUM_THREADS', '1')
 
 
 class BaseDataset:
