@@ -244,11 +244,24 @@ def geometric_features_np(
     out = {k: [] for k in ('linearity', 'planarity', 'scattering',
                            'verticality', 'curvature', 'length',
                            'surface', 'volume', 'normal')}
+    native_out = None
+    if k_step < 0:
+        # C++/OpenMP kernel when built (native/eigen_features.cpp):
+        # two-pass covariance straight off the index table + Jacobi
+        # eigensolver — no [N, K, 3] gather buffers
+        from .native import eigen_features
+        # self was already prepended to the table above
+        native_out = eigen_features(
+            xyz, np.where(nbr_mask, nbr_idx, -1).astype(np.int32),
+            add_self=False)
     for s in range(0, N, chunk):
         e = min(s + chunk, N)
         idx_c = np.clip(nbr_idx[s:e], 0, N - 1)
         mask_c = nbr_mask[s:e]
-        if k_step < 0:
+        if native_out is not None:
+            w, V, sizes = (native_out[0][s:e], native_out[1][s:e],
+                           native_out[2][s:e])
+        elif k_step < 0:
             w, V, sizes = pca(idx_c, mask_c, xyz)
         else:
             k0 = max(k_min, k_min_search)

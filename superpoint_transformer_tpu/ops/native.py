@@ -14,7 +14,8 @@ import os
 
 import numpy as np
 
-__all__ = ['greedy_cut', 'radius_knn', 'native_available']
+__all__ = ['greedy_cut', 'radius_knn', 'eigen_features',
+           'native_available']
 
 _LIB = None
 
@@ -48,6 +49,18 @@ def _load():
                 ctypes.c_double, ctypes.c_int64, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_float)]
+            try:
+                lib.spt_eigen_features.restype = None
+                lib.spt_eigen_features.argtypes = [
+                    ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_int32)]
+            except AttributeError:
+                # library predates the eigen kernel
+                pass
             _LIB = lib
             return lib
     _LIB = False
@@ -240,3 +253,25 @@ def radius_knn(xyz_search, xyz_query=None, r=1.0, k=10,
         idx, dist = out_i, out_d
     idx = np.where(idx >= xs.shape[0], -1, idx).astype(np.int32)
     return idx, dist.astype(np.float32)
+
+
+def eigen_features(xyz, nbr_idx, add_self=True):
+    """Per-point neighborhood PCA (native C++/OpenMP; None if the
+    library is unavailable). `nbr_idx` int32 with -1 invalid slots.
+
+    Returns (w [N,3] float32 ascending, V [N,3,3] float32 with
+    V[:, :, j] the eigenvector of w_j, counts [N] int32)."""
+    lib = _load()
+    if not lib or not hasattr(lib, 'spt_eigen_features'):
+        return None
+    xyz = np.ascontiguousarray(xyz, dtype=np.float32)
+    nbr = np.ascontiguousarray(nbr_idx, dtype=np.int32)
+    n, k = nbr.shape
+    w = np.empty((n, 3), dtype=np.float32)
+    v = np.empty((n, 3, 3), dtype=np.float32)
+    cnt = np.empty(n, dtype=np.int32)
+    lib.spt_eigen_features(
+        n, _ptr(xyz, ctypes.c_float), k, _ptr(nbr, ctypes.c_int32),
+        int(bool(add_self)), _ptr(w, ctypes.c_float),
+        _ptr(v, ctypes.c_float), _ptr(cnt, ctypes.c_int32))
+    return w, v, cnt
