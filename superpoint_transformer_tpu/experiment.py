@@ -247,6 +247,9 @@ def _pre_transform_config(cfg: Config):
         ground_scale=float(dm.ground_scale),
         segment_mean_hf=tuple(dm.segment_mean_hf),
         segment_std_hf=tuple(dm.segment_std_hf))
+    if dm.get('instance'):
+        # instance-aware preprocessing caches separately
+        out['with_instances'] = True
     # EZ-SP stage 2: learned-CNN partition features + greedy
     # contour-prior partition replace cut-pursuit (added only when
     # requested so the default cache hashes stay stable)
@@ -286,7 +289,10 @@ def build_datasets(cfg: Config, stages=('train', 'val', 'test')):
         pre_transform_config=_pre_transform_config(cfg),
         in_memory=bool(dm.get('in_memory', False)),
         nano=bool(dm.get('nano', False)),
-        num_workers=int(dm.get('num_workers', 1)))
+        num_workers=int(dm.get('num_workers', 1)),
+        # panoptic configs read gt instances from the raw data
+        # (reference datamodule.instance); keys the cache hash below
+        instances=bool(dm.get('instance', False)))
     if dm.get('xy_tiling'):
         t = dm.xy_tiling
         kwargs['xy_tiling'] = tuple(t) if not np.isscalar(t) else int(t)

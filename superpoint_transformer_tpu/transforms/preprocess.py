@@ -854,6 +854,7 @@ def preprocess_cloud(
         contour_prior_min_size=(5, 30, 90),
         contour_prior_edge_weight_mode='exp_neg_latent_distance',
         contour_prior_k_isolated=5,
+        with_instances=False,
         verbose=False):
     """Full raw-cloud -> NAG preprocessing (the reference
     `pre_transform` chain). `verbose=True` prints per-stage wall

@@ -82,3 +82,22 @@ def test_tune_random_search(tmp_path):
     assert len(res) == 2
     lrs = [r['params']['model.optimizer.lr'] for r in res]
     assert all(1e-3 <= v <= 1e-1 for v in lrs)
+
+
+def test_train_panoptic_cli(tmp_path):
+    """Panoptic (SuperCluster) CLI: instance-aware preprocessing
+    (datamodule.instance plumbs gt instances from the raw objects),
+    1-epoch train with the partition + PQ validation on the final
+    epoch, PQ rows in panoptic.csv."""
+    root = str(tmp_path / 's3dis')
+    make_raw_s3dis(root)
+    out = str(tmp_path / 'out')
+    argv = [o if not o.startswith('experiment=')
+            else 'experiment=panoptic/s3dis'
+            for o in _overrides(root, out)]
+    best = train_cli.main(argv + ['panoptic_grid_search=False'])
+    assert best is None or np.isfinite(best)
+    pan = osp.join(out, 'panoptic.csv')
+    assert osp.exists(pan), 'panoptic validation epoch did not run'
+    lines = open(pan).read().splitlines()
+    assert 'pq' in lines[0] and len(lines) >= 2

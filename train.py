@@ -92,6 +92,8 @@ def main(argv=None):
                 cfg.model.get('partition_every_n_epoch', 50)),
             stuff_classes=tuple(
                 cfg.datamodule.get('stuff_classes', ())),
+            panoptic_grid_search=bool(
+                cfg.get('panoptic_grid_search', True)),
             monitor='pq')
 
     trainer = Trainer(
