@@ -101,3 +101,21 @@ def test_train_panoptic_cli(tmp_path):
     assert osp.exists(pan), 'panoptic validation epoch did not run'
     lines = open(pan).read().splitlines()
     assert 'pq' in lines[0] and len(lines) >= 2
+
+
+def test_train_partition_cli(tmp_path):
+    """EZ-SP stage-1 CLI: experiment=partition/s3dis_ezsp trains the
+    sparse-CNN partition embedding via fit_partition and writes
+    checkpoints + metrics."""
+    root = str(tmp_path / 's3dis')
+    # classes must touch so label-crossing (inter) adjacency edges
+    # exist for the contrastive criterion
+    make_raw_s3dis(root, z_step=0.1)
+    out = str(tmp_path / 'out')
+    argv = [o if not o.startswith('experiment=')
+            else 'experiment=partition/s3dis_ezsp'
+            for o in _overrides(root, out)]
+    train_cli.main(argv)
+    assert osp.exists(osp.join(out, 'checkpoints', 'last'))
+    csv = open(osp.join(out, 'metrics.csv')).read()
+    assert 'n_inter_edge' in csv.splitlines()[0]

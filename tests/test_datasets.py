@@ -18,7 +18,7 @@ PRE_CFG = dict(
 
 
 def make_raw_s3dis(root, areas=('Area_1', 'Area_5'), rooms=2,
-                   n_per_obj=300):
+                   n_per_obj=300, z_step=0.8):
     rng = np.random.default_rng(0)
     classes = ['ceiling', 'floor', 'wall', 'chair']
     for area in areas:
@@ -29,7 +29,7 @@ def make_raw_s3dis(root, areas=('Area_1', 'Area_5'), rooms=2,
             for i, cls in enumerate(classes):
                 xyz = rng.uniform(0, 3, (n_per_obj, 3)).astype(
                     np.float32)
-                xyz[:, 2] = i * 0.8 + rng.normal(
+                xyz[:, 2] = i * z_step + rng.normal(
                     0, 0.02, n_per_obj)
                 xyz[:, 0] += r * 5
                 rgb = rng.integers(0, 255, (n_per_obj, 3))
