@@ -41,9 +41,15 @@ def test_train_then_eval_cli(tmp_path):
 
     m = eval_cli.main(
         _overrides(root, out)
-        + ['ckpt_path=' + osp.join(out, 'checkpoints', 'last')])
+        + ['ckpt_path=' + osp.join(out, 'checkpoints', 'last'),
+           'submission=True'])
     assert np.isfinite(m['miou'])
     assert m['confmat'].sum() > 0
+    # held-out predictions written in the dataset's format
+    sub = osp.join(out, 'submission', 'Area_5.txt')
+    assert osp.exists(sub)
+    pred = np.loadtxt(sub)
+    assert pred.ndim == 1 and pred.size > 100
 
 
 @pytest.mark.slow
@@ -119,3 +125,28 @@ def test_train_partition_cli(tmp_path):
     assert osp.exists(osp.join(out, 'checkpoints', 'last'))
     csv = open(osp.join(out, 'metrics.csv')).read()
     assert 'n_inter_edge' in csv.splitlines()[0]
+
+
+def test_ezsp_two_stage_cli(tmp_path):
+    """Full EZ-SP CLI recipe: stage 1 (partition/s3dis_ezsp) trains
+    the CNN embedding; stage 2 (semantic/s3dis_ezsp +
+    pretrained_cnn_ckpt_path) preprocesses with the frozen CNN +
+    greedy contour-prior partition and trains SPT on the result."""
+    root = str(tmp_path / 's3dis')
+    make_raw_s3dis(root, z_step=0.1)
+    out1 = str(tmp_path / 'stage1')
+    argv1 = [o if not o.startswith('experiment=')
+             else 'experiment=partition/s3dis_ezsp'
+             for o in _overrides(root, out1)]
+    train_cli.main(argv1)
+    ckpt = osp.join(out1, 'checkpoints', 'last')
+    assert osp.exists(ckpt)
+
+    out2 = str(tmp_path / 'stage2')
+    argv2 = [o if not o.startswith('experiment=')
+             else 'experiment=semantic/s3dis_ezsp'
+             for o in _overrides(root, out2)]
+    best = train_cli.main(
+        argv2 + [f'datamodule.pretrained_cnn_ckpt_path={ckpt}'])
+    assert np.isfinite(best)
+    assert osp.exists(osp.join(out2, 'checkpoints', 'last'))
