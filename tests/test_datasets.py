@@ -301,3 +301,18 @@ def test_read_scannet_scan(tmp_path):
     assert (data.obj[:20] == 0).all()
     assert (data.obj[20:50] == 1).all()
     assert (data.obj[50:] == -1).all()
+
+
+def test_in_memory_and_trainval(s3dis_root):
+    """in_memory caches loaded NAGs; trainval concatenates the train
+    and val cloud lists (reference stage handling)."""
+    ds = MiniS3DIS(s3dis_root, fold=5, stage='train',
+                   pre_transform_config=PRE_CFG, in_memory=True)
+    ds.process()
+    a = ds[0]
+    b = ds[0]
+    assert a is b  # cached object, no re-read
+    tv = MiniS3DIS(s3dis_root, fold=5, stage='trainval',
+                   pre_transform_config=PRE_CFG)
+    # MiniS3DIS: train=['Area_1'], val=['Area_1'] (val mixed in train)
+    assert tv.cloud_ids == ['Area_1', 'Area_1']
