@@ -51,6 +51,16 @@ def evaluate(cfg, pq=None, ap=None):
     tta_runs = int(cfg.get('tta_runs', 0))
     metrics = trainer.validate(state, loader, split='test',
                                tta_runs=tta_runs)
+    # per-class IoU table (reference prints it at test end)
+    iou = metrics.get('iou_per_class')
+    if iou is not None:
+        import numpy as _np
+        names = list(getattr(datasets['test'], 'class_names', []))
+        present = _np.asarray(metrics.get('present'))
+        for i, v in enumerate(_np.asarray(iou)):
+            name = names[i] if i < len(names) else f'class_{i}'
+            tag = '' if present is None or present[i] else '  (absent)'
+            print(f'  {name:<14s} IoU {float(v):6.2f}{tag}')
     # SuperCluster: also run the instance partition + PQ/mAP
     # (reference PanopticSegmentationModule test epoch)
     if str(cfg.model.get('task', 'semantic')) == 'panoptic':
