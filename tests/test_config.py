@@ -111,3 +111,14 @@ def test_every_experiment_composes_and_builds(exp):
         assert task.accumulate_grad_batches == 2
     if 'ezsp' in exp and exp.startswith('semantic/'):
         assert str(cfg.datamodule.partition_mode) == 'contour_prior'
+
+
+@pytest.mark.parametrize('exp', ['semantic/s3dis', 'panoptic/s3dis',
+                                 'semantic/dales', 'panoptic/scannet'])
+def test_eval_config_composes(exp):
+    """eval.yaml composes with experiment overlays just like train
+    (reference tests/test_configs.py eval path)."""
+    cfg = load_config(CONFIG_DIR, 'eval', [f'experiment={exp}'])
+    bc = build_batch_config(cfg)
+    assert bc.num_classes == int(cfg.datamodule.num_classes)
+    assert 'ckpt_path' in cfg
