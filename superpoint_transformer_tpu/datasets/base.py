@@ -321,17 +321,18 @@ def _prepared_worker(dataset, batch_cfg, train, task_q, result_q):
     CPU so workers never race for an accelerator."""
     os.environ['JAX_PLATFORMS'] = 'cpu'
     os.environ.pop('PALLAS_AXON_POOL_IPS', None)
+    os.environ.setdefault('OMP_NUM_THREADS', '1')
     from ..transforms.prepare import prepare_batch
     while True:
         item = task_q.get()
         if item is None:
             break
-        bid, idx, seed = item
+        gen, bid, idx, seed = item
         nags = [dataset[int(j)] for j in idx]
         rng = np.random.default_rng(seed)
         out = prepare_batch(nags, batch_cfg, train=train, rng=rng,
                             device=False)
-        result_q.put((bid, out))
+        result_q.put((gen, bid, out))
 
 
 class PreparedDataLoader(DataLoader):
@@ -359,6 +360,9 @@ class PreparedDataLoader(DataLoader):
         self.train = train
         self.num_workers = num_workers
         self._pool = None
+        # epoch generation token: results from an abandoned iteration
+        # (consumer broke out mid-epoch) are recognized and dropped
+        self._generation = 0
 
     def _ensure_pool(self):
         if self._pool is not None:
@@ -407,13 +411,27 @@ class PreparedDataLoader(DataLoader):
                                     train=self.train, rng=rng)
             return
         self._ensure_pool()
+        import queue as _queue
+        self._generation += 1
+        gen = self._generation
         for bid, idx in enumerate(batches):
-            self._task_q.put((bid, np.asarray(idx), int(seeds[bid])))
+            self._task_q.put((gen, bid, np.asarray(idx),
+                              int(seeds[bid])))
         pending = {}
         next_bid = 0
         while next_bid < len(batches):
             while next_bid not in pending:
-                bid, out = self._result_q.get()
+                try:
+                    rgen, bid, out = self._result_q.get(timeout=30)
+                except _queue.Empty:
+                    dead = [p for p in self._pool if not p.is_alive()]
+                    if dead:
+                        raise RuntimeError(
+                            f'{len(dead)} PreparedDataLoader worker '
+                            'process(es) died — see worker stderr')
+                    continue
+                if rgen != gen:
+                    continue  # stale result from an abandoned epoch
                 pending[bid] = out
             out = pending.pop(next_bid)
             next_bid += 1

@@ -316,3 +316,31 @@ def test_in_memory_and_trainval(s3dis_root):
                    pre_transform_config=PRE_CFG)
     # MiniS3DIS: train=['Area_1'], val=['Area_1'] (val mixed in train)
     assert tv.cloud_ids == ['Area_1', 'Area_1']
+
+
+def test_prepared_dataloader_abandoned_epoch(s3dis_root):
+    """Breaking out of an epoch mid-way must not poison the next
+    iteration (stale results carry an old generation token and are
+    dropped)."""
+    from superpoint_transformer_tpu.datasets import PreparedDataLoader
+    from superpoint_transformer_tpu.transforms.prepare import (
+        BatchConfig, discover_caps)
+    ds = MiniS3DIS(s3dis_root, fold=5, stage='trainval',
+                   pre_transform_config=PRE_CFG)
+    ds.process()
+    cfg = BatchConfig(num_classes=13, sample_graph_r=-1,
+                      sample_segment_ratio=0, max_num_nodes=100_000,
+                      point_hf=('rgb',))
+    cfg = discover_caps([[ds[0]]], cfg, rng=np.random.default_rng(0))
+    loader = PreparedDataLoader(ds, cfg, batch_size=1, seed=1,
+                                train=True, num_workers=2)
+    try:
+        it = iter(loader)
+        next(it)          # consume one batch, abandon the epoch
+        del it
+        batches = list(loader)   # fresh epoch must deliver ALL batches
+        assert len(batches) == 2
+        for b in batches:
+            assert int(np.asarray(b[1].num_nodes)) > 0
+    finally:
+        loader.close()
