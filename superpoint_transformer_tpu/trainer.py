@@ -148,7 +148,9 @@ class Trainer:
             payload['batch_stats'] = state.batch_stats
         ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
-        meta = {'version': __version__, 'epoch': self.epoch,
+        # epoch+1 = the next epoch to run on resume (checkpoints are
+        # written at the END of an epoch)
+        meta = {'version': __version__, 'epoch': self.epoch + 1,
                 'best_miou': self.best_miou,
                 'time': time.time()}
         with open(osp.join(path, 'spt_meta.json'), 'w') as f:

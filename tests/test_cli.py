@@ -150,3 +150,26 @@ def test_ezsp_two_stage_cli(tmp_path):
         argv2 + [f'datamodule.pretrained_cnn_ckpt_path={ckpt}'])
     assert np.isfinite(best)
     assert osp.exists(osp.join(out2, 'checkpoints', 'last'))
+
+
+def test_train_resume_cli(tmp_path):
+    """ckpt_path resume continues from the NEXT epoch: a 1-epoch run
+    resumed with max_epochs=2 trains exactly one more epoch
+    (reference resume semantics, tests/test_train.py:64-80)."""
+    root = str(tmp_path / 's3dis')
+    make_raw_s3dis(root)
+    out = str(tmp_path / 'out')
+    train_cli.main(_overrides(root, out))
+    lines1 = open(osp.join(out, 'metrics.csv')).read().splitlines()
+    argv = [o if not o.startswith('trainer.max_epochs=')
+            else 'trainer.max_epochs=2' for o in _overrides(root, out)]
+    train_cli.main(argv + [
+        'ckpt_path=' + osp.join(out, 'checkpoints', 'last')])
+    lines2 = open(osp.join(out, 'metrics.csv')).read().splitlines()
+    i_epoch = lines2[0].split(',').index('epoch')
+    i_split = lines2[0].split(',').index('split')
+    train_epochs = [r.split(',')[i_epoch] for r in lines2[1:]
+                    if r.split(',')[i_split] == 'train']
+    # epoch 0 from the first run, epoch 1 (only) from the resume
+    assert train_epochs == ['0', '1'], train_epochs
+    assert len(lines2) > len(lines1)
