@@ -173,3 +173,22 @@ def test_train_resume_cli(tmp_path):
     # epoch 0 from the first run, epoch 1 (only) from the resume
     assert train_epochs == ['0', '1'], train_epochs
     assert len(lines2) > len(lines1)
+
+
+@pytest.mark.slow
+def test_eval_panoptic_6fold_cli(tmp_path):
+    """Panoptic 6-fold: shared PQ/mAP accumulators concatenate the
+    per-fold instance matches before the final compute (reference
+    compute_panoptic_metrics_s3dis_6fold)."""
+    root = str(tmp_path / 's3dis')
+    make_raw_s3dis(root, areas=[f'Area_{i}' for i in range(1, 7)],
+                   rooms=1, n_per_obj=150)
+    out = str(tmp_path / 'out')
+    argv = [o if not o.startswith('experiment=')
+            else 'experiment=panoptic/s3dis'
+            for o in _overrides(root, out)]
+    res = eval_cli.main(argv + ['s3dis_6fold=True',
+                                'panoptic_grid_search=False'])
+    assert np.isfinite(res['miou'])
+    assert 'pq' in res and np.isfinite(res['pq'])
+    assert 'map_50' in res
