@@ -192,3 +192,18 @@ def test_eval_panoptic_6fold_cli(tmp_path):
     assert np.isfinite(res['miou'])
     assert 'pq' in res and np.isfinite(res['pq'])
     assert 'map_50' in res
+
+
+def test_train_nano_cli(tmp_path):
+    """Nano family: datasets load NAGs without level 0
+    (start_i_level=1) and the segment-only model trains end-to-end
+    (reference nano configs)."""
+    root = str(tmp_path / 's3dis')
+    make_raw_s3dis(root)
+    out = str(tmp_path / 'out')
+    argv = [o if not o.startswith('experiment=')
+            else 'experiment=semantic/s3dis_nano'
+            for o in _overrides(root, out)]
+    best = train_cli.main(argv)
+    assert np.isfinite(best)
+    assert osp.exists(osp.join(out, 'checkpoints', 'last'))
