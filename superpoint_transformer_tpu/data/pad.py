@@ -137,10 +137,15 @@ def _collate_level(datas, i, nag_list, start):
     if i < nag_list[0].end_i_level:
         parent_offsets = np.cumsum(
             [0] + [nag[i + 1].num_nodes for nag in nag_list])
-    # child offsets for sub
+    # child offsets for sub: one level down inside the NAG, or — at
+    # the bottom level, where `sub` holds FULL-RESOLUTION raw point
+    # ids — per-item max()+1 (the reference CSRBatch convention for
+    # index values, src/data/csr.py:736-742)
     if i > start:
         child_offsets = np.cumsum(
             [0] + [nag[i - 1].num_nodes for nag in nag_list])
+    else:
+        child_offsets = None
 
     keys = set()
     for d in datas:
@@ -167,8 +172,13 @@ def _collate_level(datas, i, nag_list, start):
                 [vals[0].pointers.astype(np.int64)] + [
                     v.pointers[1:].astype(np.int64) + ptr_off[j + 1]
                     for j, v in enumerate(vals[1:])])
+            offs = child_offsets
+            if offs is None:
+                sizes = [int(v.points.max()) + 1 if v.points.size
+                         else 0 for v in vals]
+                offs = np.cumsum([0] + sizes)
             points = np.concatenate([
-                v.points.astype(np.int64) + child_offsets[j]
+                v.points.astype(np.int64) + offs[j]
                 for j, v in enumerate(vals)])
             out._store['sub'] = Cluster(pointers, points)
         elif isinstance(vals[0], np.ndarray):

@@ -207,3 +207,21 @@ def test_train_nano_cli(tmp_path):
     best = train_cli.main(argv)
     assert np.isfinite(best)
     assert osp.exists(osp.join(out, 'checkpoints', 'last'))
+
+
+def test_train_11g_cli(tmp_path):
+    """11g small-memory family: gradient accumulation
+    (optax.MultiSteps) through the CLI, including the checkpoint
+    round trip of the wrapped optimizer state."""
+    root = str(tmp_path / 's3dis')
+    make_raw_s3dis(root)
+    out = str(tmp_path / 'out')
+    argv = [o if not o.startswith('experiment=')
+            else 'experiment=semantic/s3dis_11g'
+            for o in _overrides(root, out)]
+    best = train_cli.main(argv)
+    assert np.isfinite(best)
+    m = eval_cli.main(
+        argv + ['ckpt_path=' + osp.join(out, 'checkpoints', 'last'),
+                'tta_runs=2'])
+    assert np.isfinite(m['miou'])
