@@ -1,6 +1,7 @@
 """CLI-level end-to-end tests: train.py -> eval.py on a tiny
 synthetic S3DIS (the reference's tests/test_train.py fast_dev_run +
 tests/test_eval.py + test_sweeps.py analogue, run in-process)."""
+import os
 import os.path as osp
 
 import numpy as np
@@ -225,3 +226,42 @@ def test_train_11g_cli(tmp_path):
         argv + ['ckpt_path=' + osp.join(out, 'checkpoints', 'last'),
                 'tta_runs=2'])
     assert np.isfinite(m['miou'])
+
+
+def _make_raw_dales(root, n=2500):
+    """Tiny DALES-format tiles for the Mini split lists."""
+    from superpoint_transformer_tpu.datasets.dales import DALES_TILES
+    from superpoint_transformer_tpu.utils.ply import write_ply
+    rng = np.random.default_rng(0)
+    os.makedirs(osp.join(root, 'raw'), exist_ok=True)
+    for split, tiles in DALES_TILES.items():
+        for t in tiles[:2]:
+            z = rng.uniform(0, 2, n).astype(np.float32)
+            sem = rng.integers(1, 9, n).astype(np.uint8)
+            write_ply(osp.join(root, 'raw', f'{t}.ply'), {
+                'x': rng.uniform(0, 12, n).astype(np.float32),
+                'y': rng.uniform(0, 12, n).astype(np.float32),
+                'z': z,
+                'intensity': rng.uniform(0, 6e4, n).astype(np.float32),
+                'sem_class': sem,
+                'ins_class': rng.integers(0, 6, n).astype(np.int32)})
+
+
+def test_train_dales_cli(tmp_path):
+    """DALES family end-to-end through the CLI: PLY reader, intensity
+    feature, mini split."""
+    root = str(tmp_path / 'dales')
+    _make_raw_dales(root)
+    out = str(tmp_path / 'out')
+    # dales is a 3-partition-level (spt-3) model: keep 3 levels
+    argv = [o for o in _overrides(root, out)
+            if not any(o.startswith(p) for p in (
+                'experiment=', 'datamodule.pcp_', 'datamodule.graph_gap'))]
+    argv = ['experiment=semantic/dales',
+            'datamodule.pcp_regularization=[0.05,0.2,0.4]',
+            'datamodule.pcp_spatial_weight=[2.0,0.5,0.5]',
+            'datamodule.pcp_cutoff=[5,5,5]',
+            'datamodule.graph_gap=[0.5,1.0,2.0]'] + argv
+    best = train_cli.main(argv)
+    assert np.isfinite(best)
+    assert osp.exists(osp.join(out, 'checkpoints', 'last'))
