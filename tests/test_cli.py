@@ -265,3 +265,39 @@ def test_train_dales_cli(tmp_path):
     best = train_cli.main(argv)
     assert np.isfinite(best)
     assert osp.exists(osp.join(out, 'checkpoints', 'last'))
+
+
+def test_train_kitti360_cli(tmp_path):
+    """KITTI-360 family end-to-end: window discovery from the raw
+    tree, rgb + semantic-id remap, 3-level partition."""
+    from superpoint_transformer_tpu.utils.ply import write_ply
+    rng = np.random.default_rng(0)
+    root = str(tmp_path / 'kitti')
+    for split, seqs in (('train', ['2013_05_28_drive_0000_sync']),
+                        ('val', ['2013_05_28_drive_0002_sync'])):
+        for seq in seqs:
+            d = osp.join(root, 'raw', 'data_3d_semantics', split, seq,
+                         'static')
+            os.makedirs(d, exist_ok=True)
+            n = 2500
+            write_ply(osp.join(d, '0000000002_0000000385.ply'), {
+                'x': rng.uniform(0, 20, n).astype(np.float32),
+                'y': rng.uniform(0, 20, n).astype(np.float32),
+                'z': rng.uniform(0, 4, n).astype(np.float32),
+                'red': rng.integers(0, 255, n).astype(np.uint8),
+                'green': rng.integers(0, 255, n).astype(np.uint8),
+                'blue': rng.integers(0, 255, n).astype(np.uint8),
+                'semantic': rng.integers(7, 23, n).astype(np.int32)})
+    out = str(tmp_path / 'out')
+    argv = [o for o in _overrides(root, out)
+            if not any(o.startswith(p) for p in (
+                'experiment=', 'datamodule.pcp_',
+                'datamodule.graph_gap', 'datamodule.mini'))]
+    argv = ['experiment=semantic/kitti360',
+            'datamodule.pcp_regularization=[0.05,0.2,0.4]',
+            'datamodule.pcp_spatial_weight=[2.0,0.5,0.5]',
+            'datamodule.pcp_cutoff=[5,5,5]',
+            'datamodule.graph_gap=[0.5,1.0,2.0]'] + argv
+    best = train_cli.main(argv)
+    assert np.isfinite(best)
+    assert osp.exists(osp.join(out, 'checkpoints', 'last'))
