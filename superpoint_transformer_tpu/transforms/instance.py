@@ -30,7 +30,12 @@ def on_the_fly_instance_graph(
     if adjacency_mode == 'available':
         ei = d.edge_index
     elif adjacency_mode == 'radius-atomic':
-        sup = nag.get_super_index(level, low=nag.start_i_level)
+        if level == nag.start_i_level:
+            # nano NAGs have no atomic level below: the nodes are
+            # their own atoms (degenerates to the centroid graph)
+            sup = np.arange(n, dtype=np.int64)
+        else:
+            sup = nag.get_super_index(level, low=nag.start_i_level)
         pts = nag[nag.start_i_level].pos
         nbr, _ = radius_knn(pts, r=radius, k=k_max, exclude_self=True)
         src = np.repeat(np.arange(pts.shape[0]), nbr.shape[1])

@@ -301,3 +301,46 @@ def test_train_kitti360_cli(tmp_path):
     best = train_cli.main(argv)
     assert np.isfinite(best)
     assert osp.exists(osp.join(out, 'checkpoints', 'last'))
+
+
+def test_train_scannet_cli(tmp_path):
+    """ScanNet family end-to-end: split files, scan-dir reader
+    (mesh + labels + instance JSONs), panoptic-capable labels."""
+    import json
+    from superpoint_transformer_tpu.utils.ply import write_ply
+    rng = np.random.default_rng(0)
+    root = str(tmp_path / 'scannet')
+    scans = ['scene0000_00', 'scene0001_00']
+    for scan in scans:
+        d = osp.join(root, 'raw', 'scans', scan)
+        os.makedirs(d, exist_ok=True)
+        n = 2500
+        base = {'x': rng.uniform(0, 8, n).astype(np.float32),
+                'y': rng.uniform(0, 8, n).astype(np.float32),
+                'z': rng.uniform(0, 3, n).astype(np.float32),
+                'red': rng.integers(0, 255, n).astype(np.uint8),
+                'green': rng.integers(0, 255, n).astype(np.uint8),
+                'blue': rng.integers(0, 255, n).astype(np.uint8)}
+        write_ply(osp.join(d, f'{scan}_vh_clean_2.ply'), base)
+        write_ply(osp.join(d, f'{scan}_vh_clean_2.labels.ply'),
+                  {**base, 'label': rng.integers(1, 41, n).astype(
+                      np.uint16)})
+        with open(osp.join(
+                d, f'{scan}_vh_clean_2.0.010000.segs.json'), 'w') as f:
+            json.dump({'segIndices': (np.arange(n) // 50).tolist()}, f)
+        with open(osp.join(d, f'{scan}.aggregation.json'), 'w') as f:
+            json.dump({'segGroups': [
+                {'objectId': i, 'segments': list(range(i * 10,
+                                                       i * 10 + 10))}
+                for i in range(5)]}, f)
+    for split, members in (('train', scans[:1]), ('val', scans[1:])):
+        with open(osp.join(root, 'raw',
+                           f'scannetv2_{split}.txt'), 'w') as f:
+            f.write('\n'.join(members) + '\n')
+    out = str(tmp_path / 'out')
+    argv = [o for o in _overrides(root, out)
+            if not any(o.startswith(p) for p in (
+                'experiment=', 'datamodule.mini'))]
+    argv = ['experiment=semantic/scannet_nano'] + argv
+    best = train_cli.main(argv)
+    assert np.isfinite(best)
