@@ -454,6 +454,20 @@ def make_submission(dataset, cloud_id, full_res_pred, submission_dir):
     if fmt == 'labels_txt':
         out = osp.join(submission_dir, f'{cloud_id}.txt')
         np.savetxt(out, pred, fmt='%d')
+    elif fmt == 'kitti360_npy':
+        # train ids -> KITTI-360 label ids; file named
+        # {seq:0>4}_{start:0>10}_{end:0>10}.npy (reference
+        # make_submission, src/datasets/kitti360.py:430-440)
+        idmap = getattr(dataset, 'submission_id_map', None)
+        if idmap is not None:
+            pred = np.asarray(idmap)[pred]
+        pred = pred.astype(np.uint8)
+        seq, win = cloud_id.split('/')
+        seqno = seq.split('_')[-2]
+        start, end = win.split('_')
+        out = osp.join(submission_dir,
+                       f'{seqno:0>4}_{start:0>10}_{end:0>10}.npy')
+        np.save(out, pred)
     elif fmt == 'labels_ply':
         from ..utils.ply import write_ply
         out = osp.join(submission_dir, f'{cloud_id}.ply')

@@ -56,10 +56,19 @@ def read_kitti360_window(path, instances=False):
     return data
 
 
+KITTI360_TRAINID2ID = np.asarray(
+    [int(np.flatnonzero(_ID2TRAIN == c)[0])
+     for c in range(KITTI360_NUM_CLASSES)] + [0], dtype=np.uint8)
+
+
 class KITTI360(BaseDataset):
     class_names = KITTI360_CLASS_NAMES
     num_classes = KITTI360_NUM_CLASSES
     stuff_classes = list(range(10))
+    # benchmark submission: train ids -> KITTI-360 label ids, one
+    # uint8 .npy per window (reference make_submission,
+    # src/datasets/kitti360.py:383-440 + TRAINID2ID)
+    submission_format = 'kitti360_npy'
 
     def __init__(self, root, windows=None, instances=False, **kwargs):
         """`windows` overrides the {'train','val','test': [...]} window
@@ -93,6 +102,11 @@ class KITTI360(BaseDataset):
 
     def read_single_raw_cloud(self, raw_path):
         return read_kitti360_window(raw_path, instances=self.instances)
+
+    submission_id_map = None  # set below (class-level numpy constant)
+
+
+KITTI360.submission_id_map = KITTI360_TRAINID2ID
 
 
 class MiniKITTI360(KITTI360):

@@ -344,3 +344,23 @@ def test_prepared_dataloader_abandoned_epoch(s3dis_root):
             assert int(np.asarray(b[1].num_nodes)) > 0
     finally:
         loader.close()
+
+
+def test_kitti360_submission_format(tmp_path):
+    """KITTI-360 benchmark submission: train ids remapped to label ids,
+    one uint8 npy per window named {seq:0>4}_{start:0>10}_{end:0>10}
+    (reference make_submission, src/datasets/kitti360.py:383-440)."""
+    from superpoint_transformer_tpu.datasets.kitti360 import (
+        KITTI360, KITTI360_TRAINID2ID, KITTI360_NUM_CLASSES)
+    from superpoint_transformer_tpu.datasets.base import make_submission
+    # canonical Cityscapes-style ids for the first classes
+    assert list(KITTI360_TRAINID2ID[:4]) == [7, 8, 11, 12]
+    ds = KITTI360.__new__(KITTI360)
+    pred = np.array([0, 1, 2, KITTI360_NUM_CLASSES])
+    out = make_submission(
+        ds, '2013_05_28_drive_0000_sync/0000000002_0000000385', pred,
+        str(tmp_path))
+    assert osp.basename(out) == '0000_0000000002_0000000385.npy'
+    back = np.load(out)
+    assert back.dtype == np.uint8
+    np.testing.assert_array_equal(back, KITTI360_TRAINID2ID[pred])
