@@ -452,7 +452,14 @@ def make_submission(dataset, cloud_id, full_res_pred, submission_dir):
     fmt = getattr(dataset, 'submission_format', 'labels_txt')
     pred = np.asarray(full_res_pred).astype(np.int32)
     if fmt == 'labels_txt':
-        out = osp.join(submission_dir, f'{cloud_id}.txt')
+        # optional train-id -> benchmark-id remap (e.g. ScanNet's
+        # NYU40 ids)
+        idmap = getattr(dataset, 'submission_id_map', None)
+        if idmap is not None:
+            pred = np.asarray(idmap)[np.clip(pred, 0,
+                                             len(idmap) - 1)]
+        out = osp.join(submission_dir,
+                       f'{osp.basename(cloud_id)}.txt')
         np.savetxt(out, pred, fmt='%d')
     elif fmt == 'kitti360_npy':
         # train ids -> KITTI-360 label ids; file named

@@ -69,6 +69,8 @@ class ScanNet(BaseDataset):
     class_names = SCANNET_CLASS_NAMES
     num_classes = SCANNET_NUM_CLASSES
     stuff_classes = [0, 1]
+    # benchmark txt submissions carry NYU40 ids (first NYU id mapping
+    # to each train id; void -> 0)
 
     def __init__(self, root, scans=None, instances=True, **kwargs):
         self._scans = scans
@@ -101,6 +103,11 @@ class ScanNet(BaseDataset):
 
     def read_single_raw_cloud(self, raw_path):
         return read_scannet_scan(raw_path, instances=self.instances)
+
+
+ScanNet.submission_id_map = np.asarray(
+    [int(np.flatnonzero(_NYU40_TO_TRAIN == c)[0])
+     for c in range(SCANNET_NUM_CLASSES)] + [0], dtype=np.int64)
 
 
 class MiniScanNet(ScanNet):
