@@ -250,6 +250,10 @@ def _pre_transform_config(cfg: Config):
     if dm.get('instance'):
         # instance-aware preprocessing caches separately
         out['with_instances'] = True
+    if str(dm.get('graph_builder', 'radius')) != 'radius':
+        out['graph_builder'] = str(dm.graph_builder)
+        out['graph_delaunay_max_dist'] = dm.get(
+            'graph_delaunay_max_dist', -1)
     # EZ-SP stage 2: learned-CNN partition features + greedy
     # contour-prior partition replace cut-pursuit (added only when
     # requested so the default cache hashes stay stable)

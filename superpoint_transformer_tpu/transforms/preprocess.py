@@ -854,7 +854,8 @@ def preprocess_cloud(
         contour_prior_min_size=(5, 30, 90),
         contour_prior_edge_weight_mode='exp_neg_latent_distance',
         contour_prior_k_isolated=5,
-        with_instances=False,
+        with_instances=False, graph_builder='radius',
+        graph_delaunay_max_dist=-1,
         verbose=False):
     """Full raw-cloud -> NAG preprocessing (the reference
     `pre_transform` chain). `verbose=True` prints per-stage wall
@@ -914,10 +915,17 @@ def preprocess_cloud(
     with t.track('segment_features'):
         nag = segment_features(nag, mean_keys=segment_mean_hf,
                                std_keys=segment_std_hf, rng=rng)
-    with t.track('radius_horizontal_graph'):
-        nag = radius_horizontal_graph(
-            nag, k_min=graph_k_min, k_max=graph_k_max, gap=graph_gap,
-            rng=rng)
+    if graph_builder == 'delaunay':
+        # legacy visibility-based graph (reference
+        # DelaunayHorizontalGraph)
+        with t.track('delaunay_horizontal_graph'):
+            nag = delaunay_horizontal_graph(
+                nag, max_dist=graph_delaunay_max_dist, rng=rng)
+    else:
+        with t.track('radius_horizontal_graph'):
+            nag = radius_horizontal_graph(
+                nag, k_min=graph_k_min, k_max=graph_k_max,
+                gap=graph_gap, rng=rng)
     # drop working keys not saved by the reference either
     for k in ('neighbor_index', 'neighbor_distance', 'edge_index',
               'edge_attr', 'node_size', 'grid_size', 'coords'):

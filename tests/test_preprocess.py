@@ -260,3 +260,20 @@ def test_delaunay_horizontal_graph():
         # no isolated nodes after distance filtering
         deg = np.bincount(ei.reshape(-1), minlength=d.num_nodes)
         assert (deg > 0).all()
+
+
+def test_preprocess_cloud_delaunay_builder():
+    """graph_builder='delaunay' routes the horizontal graph through
+    the legacy Delaunay path inside preprocess_cloud (config surface:
+    datamodule.graph_builder)."""
+    data = synthetic_scene()
+    nag = preprocess_cloud(
+        data, voxel=0.1, knn=12, knn_r=1.0, num_classes=3,
+        pcp_regularization=(0.05, 0.2), pcp_spatial_weight=(2.0, 0.5),
+        pcp_cutoff=(5, 5), graph_gap=(0.5, 1.0),
+        graph_builder='delaunay', graph_delaunay_max_dist=(8.0, 12.0))
+    for lvl in (1, 2):
+        d = nag[lvl]
+        assert d.edge_attr.shape[1] == 7  # minimalistic features
+        if d.num_nodes >= 2:
+            assert d.edge_index.shape[1] > 0
