@@ -25,7 +25,7 @@ __all__ = [
     'radius_horizontal_graph', 'preprocess_cloud',
     'quantize_coordinates', 'greedy_contour_prior_partition',
     'sample_xy_tiling', 'sample_recursive_main_xy_axis_tiling',
-    'pretrained_cnn_features', 'grid_partition',
+    'pretrained_cnn_features', 'grid_partition', 'd0_partition_energy',
 ]
 
 _VOTING_KEYS = ('y', 'super_index', 'is_val')
@@ -507,6 +507,29 @@ def cut_pursuit_partition(
             d2['y'] = acc
         levels.append(d2)
     return NAG(levels, start_i_level=0)
+
+
+def d0_partition_energy(features, edge_index, edge_weight, node_weight,
+                        super_index, reg):
+    """L0/d0 partition energy (the objective cp_d0_dist minimizes,
+    reference src/transforms/partition.py:199-227):
+    sum_v w_v * ||f_v - mu_{comp(v)}||^2 + reg * sum of cut-edge
+    weights. Used by the demo-room parity golden tests to compare our
+    solver's partitions against the reference's stored partitions on
+    identical inputs. Returns (total, fidelity, reg * cut)."""
+    f = np.asarray(features, dtype=np.float64)
+    nw = np.asarray(node_weight, dtype=np.float64).reshape(-1)
+    sup = np.asarray(super_index)
+    n_comp = int(sup.max()) + 1
+    S = np.zeros(n_comp)
+    np.add.at(S, sup, nw)
+    mu = np.zeros((n_comp, f.shape[1]))
+    np.add.at(mu, sup, f * nw[:, None])
+    mu /= np.maximum(S, 1e-12)[:, None]
+    fidelity = float((nw[:, None] * (f - mu[sup]) ** 2).sum())
+    cross = sup[edge_index[0]] != sup[edge_index[1]]
+    cut = float(np.asarray(edge_weight).reshape(-1)[cross].sum())
+    return fidelity + reg * cut, fidelity, reg * cut
 
 
 def segment_features(nag, n_max=32, n_min=5,
