@@ -178,6 +178,55 @@ class InstanceData(CSRData):
         return InstanceData(
             ptr, new_obj[sort], counts[sort], new_y[sort])
 
+    # ---- reference InstanceData API (delegates to ops.instance;
+    # lazy imports avoid the data <-> ops cycle) ----------------------
+
+    @property
+    def indices(self):
+        """Cluster id per overlap row (reference naming)."""
+        return self.to_super_index()
+
+    def iou_and_size(self):
+        """(iou, cluster_size, object_size) per overlap (reference
+        src/data/instance.py:255); honors `pair_cropped_count` set by
+        `remove_void`."""
+        from ..ops.instance import instance_iou_and_size
+        return instance_iou_and_size(
+            self, getattr(self, 'pair_cropped_count', None))
+
+    def major(self, num_classes=None):
+        """(obj, count, y) of each cluster's majority instance, with
+        the <=50%-void fallback (reference src/data/instance.py:162)."""
+        from ..ops.instance import instance_major
+        return instance_major(self, num_classes=num_classes)
+
+    def search_void(self, num_classes):
+        """(is_cluster_void, is_pair_void, pair_cropped_count)
+        (reference src/data/instance.py:462)."""
+        from ..ops.instance import instance_search_void
+        return instance_search_void(self, num_classes)
+
+    def remove_void(self, num_classes):
+        """(void-free InstanceData, surviving-cluster mask)
+        (reference src/data/instance.py:550)."""
+        from ..ops.instance import instance_remove_void
+        return instance_remove_void(self, num_classes)
+
+    def estimate_centroid(self, cluster_pos, mode='iou'):
+        """(obj_pos, obj_ids): per-object centroid estimated from
+        overlapping clusters (reference src/data/instance.py:287)."""
+        from ..ops.instance import estimate_instance_centroid
+        return estimate_instance_centroid(self, cluster_pos, mode=mode)
+
+    def instance_graph(self, edge_index, num_classes=None,
+                       smooth_affinity=True):
+        """(trimmed edge_index, per-edge affinity) target instance
+        graph (reference src/data/instance.py:354)."""
+        from ..ops.instance import instance_graph_affinity
+        return instance_graph_affinity(
+            self, edge_index, num_classes=num_classes,
+            smooth_affinity=smooth_affinity)
+
 
 def _as_index(idx, n):
     idx = np.asarray(idx)

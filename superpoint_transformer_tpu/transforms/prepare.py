@@ -121,9 +121,28 @@ def prepare_batch(nag_list, cfg: BatchConfig, train=True, rng=None,
         if sample:
             nag = T.restrict_size(nag, rng, num_edges=cfg.max_num_edges)
         if train:
+            # feature noise + color augmentations (reference
+            # on_device_train_transform, default.yaml:292-365:
+            # NAGJitterKey on non-rgb point features / edge_attr,
+            # NAGColorAutoContrast, NAGColorDrop)
+            for k in cfg.point_hf:
+                if k != 'rgb':
+                    nag = T.jitter_key(
+                        nag, rng, key=k, sigma=cfg.node_feat_jitter,
+                        trunc=2 * cfg.node_feat_jitter)
             nag = T.jitter_key(nag, rng, key='edge_attr',
                                sigma=cfg.h_edge_feat_jitter,
                                trunc=2 * cfg.h_edge_feat_jitter)
+            if cfg.rgb_autocontrast > 0 or cfg.rgb_drop > 0:
+                from .color import color_auto_contrast, color_drop
+                for i in nag.levels:
+                    if nag[i].get('rgb') is None:
+                        continue
+                    if cfg.rgb_autocontrast > 0:
+                        color_auto_contrast(nag[i], rng,
+                                            p=cfg.rgb_autocontrast)
+                    if cfg.rgb_drop > 0:
+                        color_drop(nag[i], rng, p=cfg.rgb_drop)
         nag = T.add_self_loops(nag)
         if cfg.instance:
             from .instance import on_the_fly_instance_graph

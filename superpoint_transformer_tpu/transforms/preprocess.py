@@ -373,15 +373,18 @@ def connect_isolated(data, k=1):
     if not iso.any():
         return data
     iso_idx = np.where(iso)[0]
-    nbr, dist = radius_knn(data.pos, data.pos[iso_idx], r=np.inf
-                           if False else 1e9, k=k, exclude_self=False)
-    # remove self matches
+    # query k+1: the query points exist in the search set, so the
+    # nearest hit is the node itself and must be skipped
+    nbr, dist = radius_knn(data.pos, data.pos[iso_idx], r=1e9,
+                           k=k + 1, exclude_self=False)
     new_s, new_t, new_w = [], [], []
     for row, i in enumerate(iso_idx):
-        for j in range(k):
+        found = 0
+        for j in range(k + 1):
             t = nbr[row, j]
-            if t < 0 or t == i:
+            if t < 0 or t == i or found >= k:
                 continue
+            found += 1
             new_s.append(i)
             new_t.append(t)
             new_w.append(1.0)
@@ -639,83 +642,66 @@ def _sample_per_segment(sup, num_seg, n_max, n_min, rng):
 
 def radius_horizontal_graph(
         nag, k_min=1, k_max=30, gap=(0.2, 0.5, 1.0), se_ratio=0.3,
-        se_min=20, rng=None):
+        se_min=20, cycles=3, margin=0.2, halfspace_filter=True,
+        bbox_filter=True, target_pc_flip=True, source_pc_sort=False,
+        chunk_size=100_000, rng=None):
     """Superpoint adjacency graph + minimalistic edge features
     (reference RadiusHorizontalGraph, src/transforms/graph.py:594).
 
-    For each level 1+: sample points per segment, find segment pairs
-    with samples within `gap` of each other (native radius KNN), trim
-    to i<j, cap each node's degree at k_max by subedge distance, and
-    compute the reference's 7-dim minimalistic edge features from the
-    matched sample pairs: [mean_off(3) | std_off(3) | mean_dist(1)]
-    (reference `_minimalistic_horizontal_edge_features`). Subedge
-    matching is mutual-nearest between segment samples — a simplified
-    (documented) variant of the reference's iterative
-    scatter_nearest_neighbor with halfspace/bbox filters."""
-    rng = rng or np.random.default_rng(0)
+    For each level 1+: find neighboring segment pairs by bbox-center
+    KNN refined with iterative anchor nearest-neighbor search and the
+    `gap` criterion (cluster_radius_nn_graph), connect isolated nodes
+    to their k_min nearest segments, then build the reference's
+    subedges (halfspace + bbox filters, top ratio.size points sorted
+    along principal components — src/utils/graph.py:99) and compute
+    the 7-dim minimalistic edge features
+    [mean_off(3) | std_off(3) | sqrt(mean_dist)(1)]
+    (src/transforms/graph.py:957). Edges are processed in chunks of
+    `chunk_size` to bound the point-edge expansion memory."""
+    from ..ops.subedges import (
+        _segment_csr, cluster_radius_nn_graph_np, subedges_np,
+        minimalistic_edge_features_np)
+
+    del rng  # deterministic: kept for call-site compatibility
     gaps = list(np.atleast_1d(gap))
     while len(gaps) < nag.absolute_num_levels - 1:
         gaps.append(gaps[-1])
+    k_maxs = list(np.atleast_1d(k_max))
+    while len(k_maxs) < nag.absolute_num_levels - 1:
+        k_maxs.append(k_maxs[-1])
+    pos0 = np.asarray(nag[0].pos, dtype=np.float64)
     for i_level in range(1, nag.absolute_num_levels):
         d = nag[i_level]
         g = float(gaps[i_level - 1])
         num_seg = d.num_nodes
         sup = nag.get_super_index(i_level, low=0)
-        sub_size = np.bincount(sup, minlength=num_seg)
-        n_max_se = np.clip((sub_size * se_ratio).astype(np.int64),
-                           se_min, 10 * se_min)
-        samples, ptr = _sample_per_segment(
-            sup, num_seg, int(n_max_se.max()), se_min, rng)
-        pts = nag[0].pos[samples]
-        seg_of = sup[samples]
-        # radius search among samples
-        k_search = 16
-        nbr, dist = radius_knn(pts, r=g, k=k_search, exclude_self=True)
-        src_pt = np.repeat(np.arange(pts.shape[0]), k_search)
-        dst_pt = nbr.reshape(-1)
-        valid = dst_pt >= 0
-        src_pt, dst_pt = src_pt[valid], dst_pt[valid]
-        dd = dist.reshape(-1)[valid]
-        ss, tt = seg_of[src_pt], seg_of[dst_pt]
-        cross = ss != tt
-        src_pt, dst_pt, dd = src_pt[cross], dst_pt[cross], dd[cross]
-        ss, tt = ss[cross], tt[cross]
-        if ss.shape[0] == 0:
-            d['edge_index'] = np.zeros((2, 0), dtype=np.int64)
-            d['edge_attr'] = np.zeros((0, 7), dtype=np.float32)
-            continue
-        # orient i<j
-        flip = ss > tt
-        s2, t2 = ss.copy(), tt.copy()
-        s2[flip], t2[flip] = tt[flip], ss[flip]
-        off = nag[0].pos[samples[dst_pt]] - nag[0].pos[samples[src_pt]]
-        off[flip] = -off[flip]
-        pair_key = s2.astype(np.int64) * num_seg + t2
-        uniq, inv = np.unique(pair_key, return_inverse=True)
-        n_pairs = uniq.shape[0]
-        # per-pair subedge stats (bincount-with-weights: ~10x faster
-        # than np.add.at scatter on multi-million-edge levels)
-        cnt = np.bincount(inv, minlength=n_pairs).astype(np.float64)
-        mean_off = np.stack(
-            [np.bincount(inv, weights=off[:, c], minlength=n_pairs)
-             for c in range(3)], 1)
-        mean_off /= cnt[:, None]
-        dev = (off - mean_off[inv]) ** 2
-        var = np.stack(
-            [np.bincount(inv, weights=dev[:, c], minlength=n_pairs)
-             for c in range(3)], 1)
-        std_off = np.sqrt(var / np.maximum(cnt - 1, 1)[:, None])
-        mean_dist = np.bincount(inv, weights=dd, minlength=n_pairs)
-        mean_dist /= cnt
-        se = np.stack([(uniq // num_seg), (uniq % num_seg)])
-        # cap degree at k_max by mean subedge distance
-        keep = _cap_degree(se, mean_dist, num_seg, k_max, k_min)
-        se = se[:, keep]
-        ea = np.concatenate(
-            [mean_off[keep], std_off[keep],
-             mean_dist[keep].reshape(-1, 1)], 1).astype(np.float32)
-        d['edge_index'] = se
-        d['edge_attr'] = ea
+        csr = _segment_csr(sup, num_seg)
+        ei, _ = cluster_radius_nn_graph_np(
+            pos0, sup, k_max=int(k_maxs[i_level - 1]), gap=g,
+            cycles=cycles, csr=csr)
+        # connect isolated nodes to their k_min nearest segments
+        d['edge_index'] = ei
+        d.edge_attr = None  # attribute-set pops the key
+        connect_isolated(d, k=k_min)
+        ei, _ = to_trimmed_np(d['edge_index'])
+        # subedges + features, chunked over edges
+        ei_parts, ea_parts = [], []
+        for lo in range(0, ei.shape[1], int(chunk_size)):
+            part = ei[:, lo:lo + int(chunk_size)]
+            se, pairs, uid = subedges_np(
+                pos0, sup, part, ratio=se_ratio, k_min=se_min,
+                cycles=cycles, margin=margin,
+                halfspace_filter=halfspace_filter,
+                bbox_filter=bbox_filter,
+                target_pc_flip=target_pc_flip,
+                source_pc_sort=source_pc_sort, csr=csr)
+            ei_parts.append(se)
+            ea_parts.append(minimalistic_edge_features_np(
+                pos0, pairs, uid, se.shape[1]))
+        d['edge_index'] = np.concatenate(ei_parts, axis=1) \
+            if ei_parts else np.zeros((2, 0), dtype=np.int64)
+        d['edge_attr'] = np.concatenate(ea_parts, axis=0) \
+            if ea_parts else np.zeros((0, 7), dtype=np.float32)
     return nag
 
 

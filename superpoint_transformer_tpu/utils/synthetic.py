@@ -93,3 +93,67 @@ def random_nag(seed=0, n_points=512, n_l1=64, n_l2=16, num_classes=13,
 def _unit(rng, n):
     v = rng.normal(size=(n, 3)).astype(np.float32)
     return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+def synthetic_room_cloud(seed=0, n_points=250_000, extent=(10.0, 8.0, 3.0),
+                         n_boxes=12, noise=0.005, num_classes=13):
+    """Raw indoor-scan-like point cloud: floor + ceiling + 4 walls +
+    axis-aligned furniture boxes, surface-sampled with sensor noise.
+    Unlike uniform blobs (the partition's worst case), this matches the
+    piecewise-planar statistics real S3DIS rooms feed the partition and
+    graph stages — use it for preprocessing benchmarks."""
+    from ..data.data import Data
+
+    rng = np.random.default_rng(seed)
+    ex, ey, ez = extent
+
+    def plane(n, origin, u, v, label):
+        a = rng.random(n).astype(np.float32)[:, None]
+        b = rng.random(n).astype(np.float32)[:, None]
+        p = (np.asarray(origin, np.float32)[None]
+             + a * np.asarray(u, np.float32)[None]
+             + b * np.asarray(v, np.float32)[None])
+        return p, np.full(n, label, dtype=np.int64)
+
+    # room shell: ~55% of the points (floor/ceiling/4 walls)
+    shell_area = 2 * ex * ey + 2 * ex * ez + 2 * ey * ez
+    parts = []
+    n_shell = int(n_points * 0.55)
+    specs = [((0, 0, 0), (ex, 0, 0), (0, ey, 0), 0),        # floor
+             ((0, 0, ez), (ex, 0, 0), (0, ey, 0), 1),       # ceiling
+             ((0, 0, 0), (ex, 0, 0), (0, 0, ez), 2),        # walls
+             ((0, ey, 0), (ex, 0, 0), (0, 0, ez), 2),
+             ((0, 0, 0), (0, ey, 0), (0, 0, ez), 2),
+             ((ex, 0, 0), (0, ey, 0), (0, 0, ez), 2)]
+    areas = np.array([np.linalg.norm(np.cross(u, v))
+                      for _, u, v, _ in specs])
+    for (o, u, v, lab), w in zip(specs, areas / areas.sum()):
+        parts.append(plane(max(int(n_shell * w), 1), o, u, v, lab))
+
+    # furniture boxes: remaining points over 5 faces each (no bottom)
+    n_box = (n_points - sum(p.shape[0] for p, _ in parts)) // max(
+        n_boxes, 1)
+    for i in range(n_boxes):
+        cx, cy = rng.random(2) * [ex - 2, ey - 2] + 1
+        sx, sy, sz = rng.random(3) * [1.5, 1.5, 1.2] + 0.2
+        lab = 3 + (i % (num_classes - 3))
+        faces = [((cx, cy, sz), (sx, 0, 0), (0, sy, 0)),     # top
+                 ((cx, cy, 0), (sx, 0, 0), (0, 0, sz)),
+                 ((cx, cy + sy, 0), (sx, 0, 0), (0, 0, sz)),
+                 ((cx, cy, 0), (0, sy, 0), (0, 0, sz)),
+                 ((cx + sx, cy, 0), (0, sy, 0), (0, 0, sz))]
+        fa = np.array([np.linalg.norm(np.cross(u, v))
+                       for _, u, v in faces])
+        for (o, u, v), w in zip(faces, fa / fa.sum()):
+            parts.append(plane(max(int(n_box * w), 1), o, u, v, lab))
+
+    pos = np.concatenate([p for p, _ in parts])
+    y = np.concatenate([l for _, l in parts])
+    pos += rng.normal(0, noise, pos.shape).astype(np.float32)
+    # color correlated with label (piecewise-constant + noise)
+    base = rng.random((num_classes, 3)).astype(np.float32)
+    rgb = np.clip(base[y] + rng.normal(0, 0.05, pos.shape), 0, 1
+                  ).astype(np.float32)
+    perm = rng.permutation(pos.shape[0])
+    return Data(pos=pos[perm].astype(np.float32), rgb=rgb[perm],
+                y=y[perm])

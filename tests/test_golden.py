@@ -144,3 +144,67 @@ def test_demo_partition_beats_reference_energy(demo_nag,
     e_ref, _, _ = d0_partition_energy(
         f, ei, ew, nw, np.asarray(demo_nag[0].super_index), reg=0.01)
     assert e_ours <= e_ref, (e_ours, e_ref)
+
+
+@pytest.fixture(scope='module')
+def demo_regraph(demo_nag):
+    """Recompute the horizontal graph with OUR reference-grade subedge
+    pipeline on the REFERENCE's stored partition (holds super_index
+    fixed so only the graph machinery is under test)."""
+    from superpoint_transformer_tpu.transforms.preprocess import (
+        radius_horizontal_graph)
+    return radius_horizontal_graph(demo_nag.clone())
+
+
+def _edge_keyset(ei, n):
+    a = np.minimum(ei[0], ei[1]).astype(np.int64)
+    b = np.maximum(ei[0], ei[1]).astype(np.int64)
+    return a * n + b
+
+
+def test_demo_horizontal_graph_edge_parity(demo_nag, demo_regraph):
+    """Our cluster_radius_nn_graph + connect_isolated reproduces the
+    reference's stored edge sets (S3DIS graph_gap=[0.2, 0.5, 1],
+    reference src/utils/neighbors.py:491). Measured r2 jaccard:
+    0.991 / 0.985 / 0.938 per level."""
+    for lvl, floor in ((1, 0.97), (2, 0.96), (3, 0.90)):
+        n = demo_nag[lvl].num_nodes
+        ref = set(_edge_keyset(
+            np.asarray(demo_nag[lvl].edge_index), n).tolist())
+        got = set(_edge_keyset(
+            np.asarray(demo_regraph[lvl].edge_index), n).tolist())
+        jac = len(ref & got) / len(ref | got)
+        assert jac >= floor, (lvl, jac)
+
+
+def test_demo_horizontal_edge_feature_parity(demo_nag, demo_regraph):
+    """On common edges, our subedge features match the reference's
+    stored edge_attr: mean_off (dims 0-2) and sqrt-mean-dist (dim 6)
+    correlate >= 0.97 with mae <= 0.06 ref-stds (measured r2:
+    corr 0.976-0.999, mae/std 0.004-0.05). Dims 3-5 are excluded:
+    the demo H5 stores an older scalar-std format (all three values
+    identical per row), not the current reference code's 3-component
+    std_off (src/transforms/graph.py:1032-1040)."""
+    for lvl in (1, 2, 3):
+        n = demo_nag[lvl].num_nodes
+        ref_ei = np.asarray(demo_nag[lvl].edge_index)
+        got_ei = np.asarray(demo_regraph[lvl].edge_index)
+        ref_ea = np.asarray(demo_nag[lvl].edge_attr, np.float64)
+        got_ea = np.asarray(demo_regraph[lvl].edge_attr, np.float64)
+        rk = _edge_keyset(ref_ei, n)
+        gk = _edge_keyset(got_ei, n)
+        # first occurrence per key on both sides
+        _, ri = np.unique(rk, return_index=True)
+        _, gi = np.unique(gk, return_index=True)
+        rmap = dict(zip(rk[ri].tolist(), ri.tolist()))
+        common = [k for k in gk[gi].tolist() if k in rmap]
+        R = ref_ea[[rmap[k] for k in common]]
+        G = got_ea[gi[np.isin(gk[gi], common)]]
+        # align row order: gi selection order must match `common`
+        G = got_ea[[dict(zip(gk[gi].tolist(), gi.tolist()))[k]
+                    for k in common]]
+        for c in (0, 1, 2, 6):
+            corr = np.corrcoef(R[:, c], G[:, c])[0, 1]
+            mae = np.abs(R[:, c] - G[:, c]).mean() / (R[:, c].std() + 1e-9)
+            assert corr >= 0.97, (lvl, c, corr)
+            assert mae <= 0.06, (lvl, c, mae)

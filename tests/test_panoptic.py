@@ -264,3 +264,105 @@ def test_trainer_fit_panoptic(tmp_path):
     assert trainer.best_miou >= 0
     assert trainer._partition_settings is not None
     assert (tmp_path / 'checkpoints' / 'best').exists()
+
+
+def test_pq_modified_stuff_class():
+    """PQ† (arXiv 1905.01220): stuff classes count ALL agreeing
+    overlaps (not just IoU>0.5) against a gt-count denominator
+    (reference compute(), src/metrics/panoptic.py:311-327)."""
+    # class 1 is stuff; two predictions each covering ~half of the
+    # single stuff gt instance -> PQ=0 (no IoU>0.5 match) but PQ†>0
+    pq = PanopticQuality3D(num_classes=2, stuff_classes=(1,))
+    pq.update(pred_of_item=[0, 1], gt_of_item=[0, 0],
+              count_of_item=[50, 50], pred_sem=[1, 1], gt_sem=[1])
+    m = pq.compute()
+    assert m['pq_per_class'][1] == 0.0
+    # each overlap has IoU 50/(50+100-50)=0.5; PQ† = (0.5+0.5)/1 = 1
+    assert m['pq_modified_per_class'][1] == pytest.approx(100.0)
+    # thing/stuff splits present (all-unseen splits collapse to 0.0,
+    # same convention as the empty-scene 'pq')
+    assert m['pq_thing'] == 0.0  # class 0 unseen
+    assert m['pq_stuff'] == pytest.approx(0.0)
+
+
+def test_pq_precision_recall_fields():
+    pq = PanopticQuality3D(num_classes=2)
+    # class 0: 1 gt, 2 preds, one matches (IoU 0.9)
+    pq.update(pred_of_item=[0, 1], gt_of_item=[0, 1],
+              count_of_item=[90, 10], pred_sem=[0, 0],
+              gt_sem=[0, -1])
+    m = pq.compute()
+    # pred 1 fully overlaps void gt -> removed, not a FP
+    assert m['tp_per_class'][0] == 1
+    assert m['fp_per_class'][0] == 0
+    assert m['precision_per_class'][0] == pytest.approx(1.0)
+    assert m['recall_per_class'][0] == pytest.approx(1.0)
+    assert m['mean_precision'] == pytest.approx(1.0)
+
+
+def test_instance_remove_void_and_iou():
+    """remove_void drops >50%-void predictions and void targets, and
+    iou_and_size corrects object sizes by the cropped void-prediction
+    mass (reference src/data/instance.py:255,550)."""
+    from superpoint_transformer_tpu.ops.instance import (
+        instance_remove_void, instance_iou_and_size)
+    # cluster 0: 80 pts of obj A (y=0) + 20 of void obj V (y=-1)
+    # cluster 1: 90 pts of void obj V -> removed (>50% void)
+    # cluster 2: 60 pts of obj A
+    ptr = np.array([0, 2, 3, 4])
+    obj = np.array([5, 9, 9, 5])
+    count = np.array([80, 20, 90, 60])
+    y = np.array([0, -1, -1, 0])
+    inst = InstanceData(ptr, obj, count, y)
+    out, mask = instance_remove_void(inst, num_classes=2)
+    np.testing.assert_array_equal(mask, [True, False, True])
+    assert out.num_groups == 2
+    np.testing.assert_array_equal(out.obj, [5, 5])
+    iou, a_size, b_size = instance_iou_and_size(
+        out, getattr(out, 'pair_cropped_count', None))
+    # obj A total = 140 (80 + 60); no crop from void cluster (cluster
+    # 1 only overlapped void obj) -> IoU = 80/(100-?).. cluster sizes
+    # shrink to the kept pairs: a=[80, 60]
+    np.testing.assert_allclose(a_size, [80, 60])
+    np.testing.assert_allclose(b_size, [140, 140])
+    np.testing.assert_allclose(iou, [80 / 140, 60 / 140])
+
+
+def test_instance_major_void_fallback():
+    """A cluster whose major overlap is void but <=50% of its size is
+    reassigned to its best non-void overlap (reference
+    InstanceData.major, src/data/instance.py:198-228)."""
+    # cluster 0: 40 void + 35 obj A + 25 obj B -> major raw = void,
+    # but 40/100 <= 50% -> fall back to A
+    ptr = np.array([0, 3])
+    obj = np.array([9, 5, 6])
+    count = np.array([40, 35, 25])
+    y = np.array([-1, 0, 1])
+    inst = InstanceData(ptr, obj, count, y)
+    o, c, yy = instance_major(inst, num_classes=2)
+    assert o[0] == 5 and c[0] == 35 and yy[0] == 0
+    # >50% void keeps the void major
+    inst2 = InstanceData(np.array([0, 2]), np.array([9, 5]),
+                         np.array([60, 40]), np.array([-1, 0]))
+    o2, c2, y2 = instance_major(inst2, num_classes=2)
+    assert o2[0] == 9 and y2[0] == -1
+
+
+def test_instance_data_method_api():
+    """The reference's InstanceData method surface exists and
+    delegates correctly (src/data/instance.py:162-550)."""
+    inst = make_instance_data()
+    np.testing.assert_array_equal(
+        inst.indices, inst.to_super_index())
+    iou, a, b = inst.iou_and_size()
+    assert iou.shape == (5,) and (iou > 0).all() and (iou <= 1).all()
+    o, c, y = inst.major(num_classes=5)
+    np.testing.assert_array_equal(o, [10, 10, 11])
+    data, mask = inst.remove_void(num_classes=5)
+    assert mask.all()  # nothing void here
+    pos = np.zeros((3, 3), np.float32)
+    obj_pos, obj_ids = inst.estimate_centroid(pos)
+    assert obj_pos.shape == (2, 3)
+    ei, aff = inst.instance_graph(np.array([[0, 1], [1, 2]]),
+                                  num_classes=5)
+    assert ei.shape[1] == aff.shape[0] == 2
