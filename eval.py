@@ -37,6 +37,13 @@ def evaluate(cfg, pq=None, ap=None):
     batch_cfg = build_batch_config(cfg)
     loader = DataLoader(datasets['test'], batch_size=1)
     task = build_task(cfg)
+    # pin eval caps from the whole test split: one compiled program
+    # per level signature across all tiles (reference whole-tile eval,
+    # src/models/semantic.py:1039)
+    from superpoint_transformer_tpu.transforms.prepare import (
+        discover_caps)
+    batch_cfg = discover_caps(list(loader), batch_cfg, train=False,
+                              headroom_levels=0)
     nags = next(iter(loader))
     example = prepare_batch(nags, batch_cfg, train=False)
     state = task.init_state(jax.random.PRNGKey(0), example)

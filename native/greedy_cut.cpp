@@ -109,7 +109,8 @@ struct Solver {
 extern "C" int64_t spt_greedy_cut(
     int64_t n, int64_t d, const float* f, const float* node_w,
     int64_t m, const int32_t* src, const int32_t* dst, const float* ew,
-    double reg, double cutoff, int32_t* super_index_out) {
+    double reg, double cutoff, int32_t refine_sweeps,
+    int32_t* super_index_out) {
     if (n <= 0) return 0;
     Solver s;
     s.n = n;
@@ -189,6 +190,158 @@ extern "C" int64_t spt_greedy_cut(
         int32_t r = s.find((int32_t)i);
         if (remap[r] < 0) remap[r] = n_comp++;
         super_index_out[i] = remap[r];
+    }
+
+    // ---- Phase 3: boundary reassignment (exact energy descent) ----
+    // Lloyd-style sweeps over vertices adjacent to other components:
+    // moving v from A to C changes the energy by
+    //   S_C*S_v/(S_C+S_v)*||f_v-mu_C||^2
+    //     - S_A*S_v/(S_A-S_v)*||f_v-mu_A||^2
+    //     + reg * (w(v->A\v) - w(v->C)),
+    // applied greedily when negative. This recovers the re-assignment
+    // half of cut-pursuit's alternating minimization that a merge-only
+    // scheme lacks; each applied move strictly decreases E.
+    if (refine_sweeps > 0) {
+        std::vector<int32_t> comp(super_index_out,
+                                  super_index_out + n);
+        std::vector<double> cs((size_t)n_comp, 0.0);
+        std::vector<double> cmu((size_t)n_comp * d, 0.0);
+        for (int64_t i = 0; i < n; ++i) {
+            double w = node_w ? node_w[i] : 1.0;
+            cs[comp[i]] += w;
+            for (int64_t k = 0; k < d; ++k)
+                cmu[(size_t)comp[i] * d + k] +=
+                    w * f[(size_t)i * d + k];
+        }
+        for (int32_t c = 0; c < n_comp; ++c)
+            if (cs[c] > 0)
+                for (int64_t k = 0; k < d; ++k)
+                    cmu[(size_t)c * d + k] /= cs[c];
+
+        // CSR of (undirected) incident edges per vertex
+        std::vector<int64_t> deg(n + 1, 0);
+        for (int64_t e = 0; e < m; ++e) {
+            if (src[e] == dst[e]) continue;
+            ++deg[src[e] + 1];
+            ++deg[dst[e] + 1];
+        }
+        for (int64_t i = 0; i < n; ++i) deg[i + 1] += deg[i];
+        std::vector<int32_t> nbr(deg[n]);
+        std::vector<float> nw(deg[n]);
+        {
+            std::vector<int64_t> fill(deg.begin(), deg.end() - 1);
+            for (int64_t e = 0; e < m; ++e) {
+                if (src[e] == dst[e]) continue;
+                float w = ew ? ew[e] : 1.0f;
+                nbr[fill[src[e]]] = dst[e];
+                nw[fill[src[e]]++] = w;
+                nbr[fill[dst[e]]] = src[e];
+                nw[fill[dst[e]]++] = w;
+            }
+        }
+
+        auto dist2 = [&](const float* x, const double* muc) {
+            double acc = 0;
+            for (int64_t k = 0; k < d; ++k) {
+                double t = (double)x[k] - muc[k];
+                acc += t * t;
+            }
+            return acc;
+        };
+
+        std::unordered_map<int32_t, double> wnb;
+        for (int it2 = 0; it2 < refine_sweeps; ++it2) {
+            int64_t moves = 0;
+            for (int64_t v = 0; v < n; ++v) {
+                int32_t a = comp[v];
+                double wv = node_w ? node_w[v] : 1.0;
+                // keep the cutoff invariant: never shrink a component
+                // below the min weight (or empty it)
+                if (cs[a] - wv < (cutoff > 0 ? cutoff : 1e-12))
+                    continue;
+                wnb.clear();
+                double w_same = 0;
+                for (int64_t p = deg[v]; p < deg[v + 1]; ++p) {
+                    int32_t c = comp[nbr[p]];
+                    if (c == a) w_same += nw[p];
+                    else wnb[c] += nw[p];
+                }
+                if (wnb.empty()) continue;
+                const float* fv = f + (size_t)v * d;
+                double rm = cs[a] * wv / (cs[a] - wv)
+                    * dist2(fv, &cmu[(size_t)a * d]);
+                double best_dE = -1e-9;
+                int32_t best_c = -1;
+                for (auto& kv : wnb) {
+                    int32_t c = kv.first;
+                    double add = cs[c] * wv / (cs[c] + wv)
+                        * dist2(fv, &cmu[(size_t)c * d]);
+                    double dE = add - rm
+                        + reg * (w_same - kv.second);
+                    if (dE < best_dE) {
+                        best_dE = dE;
+                        best_c = c;
+                    }
+                }
+                if (best_c < 0) continue;
+                // apply: incremental mean/weight update
+                for (int64_t k = 0; k < d; ++k) {
+                    cmu[(size_t)a * d + k] =
+                        (cmu[(size_t)a * d + k] * cs[a]
+                         - wv * fv[k]) / (cs[a] - wv);
+                    cmu[(size_t)best_c * d + k] =
+                        (cmu[(size_t)best_c * d + k] * cs[best_c]
+                         + wv * fv[k]) / (cs[best_c] + wv);
+                }
+                cs[a] -= wv;
+                cs[best_c] += wv;
+                comp[v] = best_c;
+                ++moves;
+            }
+            if (moves == 0) break;
+        }
+
+        // connectivity split: refinement may detach parts of a
+        // component; re-extract connected components of the
+        // same-label subgraph (strictly decreases E: no cut edges
+        // between detached parts, and tighter means). Parts lighter
+        // than `cutoff` are kept attached to their original label.
+        std::vector<int32_t> uf(n);
+        for (int64_t i = 0; i < n; ++i) uf[i] = (int32_t)i;
+        auto uff = [&uf](int32_t x) -> int32_t {
+            while (uf[x] != x) x = uf[x] = uf[uf[x]];
+            return x;
+        };
+        for (int64_t e = 0; e < m; ++e) {
+            if (src[e] == dst[e]) continue;
+            if (comp[src[e]] != comp[dst[e]]) continue;
+            int32_t ra = uff(src[e]), rb = uff(dst[e]);
+            if (ra != rb) uf[rb] = ra;
+        }
+        std::vector<double> part_w(n, 0.0);
+        for (int64_t i = 0; i < n; ++i)
+            part_w[uff((int32_t)i)] += node_w ? node_w[i] : 1.0;
+        // heaviest part of each original component: undersized
+        // detached parts rejoin it (keeps the cutoff invariant; the
+        // rejoined component may be spatially disconnected, like any
+        // force-merged small component)
+        std::vector<int32_t> main_root(n_comp, -1);
+        for (int64_t i = 0; i < n; ++i) {
+            int32_t r = uff((int32_t)i);
+            int32_t c = comp[i];
+            if (main_root[c] < 0 || part_w[r] > part_w[main_root[c]])
+                main_root[c] = r;
+        }
+        std::vector<int32_t> remap2(n, -1);
+        int32_t n_out = 0;
+        for (int64_t i = 0; i < n; ++i) {
+            int32_t r = uff((int32_t)i);
+            if (cutoff > 0 && part_w[r] < cutoff)
+                r = main_root[comp[i]];
+            if (remap2[r] < 0) remap2[r] = n_out++;
+            super_index_out[i] = remap2[r];
+        }
+        return n_out;
     }
     return n_comp;
 }

@@ -170,6 +170,9 @@ def build_task(cfg: Config, total_steps=None, class_weight=None,
         transformer_lr_scale=float(m.transformer_lr_scale),
         total_steps=total_steps or 100_000,
         warmup_steps=int(m.scheduler.num_warmup),
+        scheduler=('plateau' if 'plateau' in str(
+            m.scheduler.get('_target_', 'cosine')).lower()
+            else 'cosine'),
         class_weight=class_weight,
         accumulate_grad_batches=int(
             cfg.trainer.get('accumulate_grad_batches', 1)))

@@ -66,6 +66,11 @@ class SemanticTask:
     # (reference GradientAccumulator callback in the *_11g configs,
     # e.g. configs/experiment/semantic/s3dis_11g.yaml:33-37)
     accumulate_grad_batches: int = 1
+    # 'cosine' (default) or 'plateau' (reference
+    # ReduceLROnPlateauWithWarmup, src/optim/lr_scheduler.py:236):
+    # warmup-then-constant base LR, decayed by the Trainer's
+    # ReduceOnPlateau controller via the lr_mult hyperparameter
+    scheduler: str = 'cosine'
 
     def __post_init__(self):
         self.model = SemanticSegmentationModel(
@@ -92,11 +97,18 @@ class SemanticTask:
         init_fn = jax.jit(partial(self.model.init, train=False))
         variables = init_fn(rng, example_batch)
         params = variables['params']
-        tx = make_optimizer(
-            lr=self.lr, weight_decay=self.weight_decay,
-            transformer_lr_scale=self.transformer_lr_scale,
-            total_steps=self.total_steps,
-            num_warmup_steps=self.warmup_steps, params=params)
+        if self.scheduler == 'plateau':
+            from ..optim.lr_scheduler import make_plateau_optimizer
+            tx = make_plateau_optimizer(
+                lr=self.lr, weight_decay=self.weight_decay,
+                transformer_lr_scale=self.transformer_lr_scale,
+                num_warmup_steps=self.warmup_steps, params=params)
+        else:
+            tx = make_optimizer(
+                lr=self.lr, weight_decay=self.weight_decay,
+                transformer_lr_scale=self.transformer_lr_scale,
+                total_steps=self.total_steps,
+                num_warmup_steps=self.warmup_steps, params=params)
         if self.accumulate_grad_batches > 1:
             import optax
             tx = optax.MultiSteps(

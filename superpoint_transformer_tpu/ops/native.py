@@ -40,7 +40,7 @@ def _load():
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_float),
-                ctypes.c_double, ctypes.c_double,
+                ctypes.c_double, ctypes.c_double, ctypes.c_int32,
                 ctypes.POINTER(ctypes.c_int32)]
             lib.spt_radius_knn.restype = None
             lib.spt_radius_knn.argtypes = [
@@ -76,10 +76,15 @@ def _ptr(a, ctype):
 
 
 def greedy_cut(features, edge_index, edge_weight=None, node_weight=None,
-               reg=0.1, cutoff=10):
+               reg=0.1, cutoff=10, refine_sweeps=8):
     """Greedy L0 partition. `features` [N, D] float32 (pre-scaled),
     trimmed `edge_index` [2, E]. Returns (super_index [N] int64,
-    n_components)."""
+    n_components).
+
+    `refine_sweeps` > 0 adds boundary-reassignment sweeps (Lloyd-style
+    exact energy descent) + a connectivity split after the greedy
+    merge — the re-assignment half of cut-pursuit's alternating
+    minimization. 0 gives the merge-only solver."""
     f = np.ascontiguousarray(features, dtype=np.float32)
     n, d = f.shape
     src = np.ascontiguousarray(edge_index[0], dtype=np.int32)
@@ -97,12 +102,14 @@ def greedy_cut(features, edge_index, edge_weight=None, node_weight=None,
             _ptr(nw, ctypes.c_float) if nw is not None else None,
             m, _ptr(src, ctypes.c_int32), _ptr(dst, ctypes.c_int32),
             _ptr(ew, ctypes.c_float) if ew is not None else None,
-            float(reg), float(cutoff), _ptr(out, ctypes.c_int32))
+            float(reg), float(cutoff), int(refine_sweeps),
+            _ptr(out, ctypes.c_int32))
         return out.astype(np.int64), int(n_comp)
-    return _greedy_cut_py(f, src, dst, ew, nw, reg, cutoff)
+    return _greedy_cut_py(f, src, dst, ew, nw, reg, cutoff,
+                          refine_sweeps)
 
 
-def _greedy_cut_py(f, src, dst, ew, nw, reg, cutoff):
+def _greedy_cut_py(f, src, dst, ew, nw, reg, cutoff, refine_sweeps=8):
     """Numpy/heapq fallback of native/greedy_cut.cpp (same algorithm)."""
     n, d = f.shape
     S = nw.astype(np.float64).copy() if nw is not None \
@@ -208,7 +215,96 @@ def _greedy_cut_py(f, src, dst, ew, nw, reg, cutoff):
         if r not in remap:
             remap[r] = len(remap)
         out[i] = remap[r]
+    if refine_sweeps > 0:
+        return _refine_py(f, src, dst, ew, nw, reg, cutoff, out,
+                          len(remap), refine_sweeps)
     return out, len(remap)
+
+
+def _refine_py(f, src, dst, ew, nw, reg, cutoff, comp, n_comp,
+               sweeps):
+    """Fallback twin of the native phase 3: boundary reassignment
+    (exact energy descent) + connectivity split, see
+    native/greedy_cut.cpp."""
+    n, d = f.shape
+    wgt = nw.astype(np.float64) if nw is not None else np.ones(n)
+    w = (ew if ew is not None else
+         np.ones(src.shape[0], np.float32)).astype(np.float64)
+    cs = np.bincount(comp, weights=wgt, minlength=n_comp)
+    cmu = np.zeros((n_comp, d))
+    np.add.at(cmu, comp, f * wgt[:, None])
+    cmu /= np.maximum(cs, 1e-12)[:, None]
+    # vertex adjacency
+    nbrs = [dict() for _ in range(n)]
+    for u, v, x in zip(src, dst, w):
+        if u == v:
+            continue
+        nbrs[u][v] = nbrs[u].get(v, 0.0) + x
+        nbrs[v][u] = nbrs[v].get(u, 0.0) + x
+    min_keep = cutoff if cutoff > 0 else 1e-12
+    for _ in range(sweeps):
+        moves = 0
+        for v in range(n):
+            a = comp[v]
+            wv = wgt[v]
+            if cs[a] - wv < min_keep or not nbrs[v]:
+                continue
+            w_same = 0.0
+            wnb = {}
+            for u, x in nbrs[v].items():
+                c = comp[u]
+                if c == a:
+                    w_same += x
+                else:
+                    wnb[c] = wnb.get(c, 0.0) + x
+            if not wnb:
+                continue
+            fv = f[v].astype(np.float64)
+            da = fv - cmu[a]
+            rm = cs[a] * wv / (cs[a] - wv) * float(da @ da)
+            best_c, best_dE = -1, -1e-9
+            for c, wc in wnb.items():
+                dc = fv - cmu[c]
+                dE = cs[c] * wv / (cs[c] + wv) * float(dc @ dc) \
+                    - rm + reg * (w_same - wc)
+                if dE < best_dE:
+                    best_c, best_dE = c, dE
+            if best_c < 0:
+                continue
+            cmu[a] = (cmu[a] * cs[a] - wv * fv) / (cs[a] - wv)
+            cmu[best_c] = (cmu[best_c] * cs[best_c] + wv * fv) \
+                / (cs[best_c] + wv)
+            cs[a] -= wv
+            cs[best_c] += wv
+            comp[v] = best_c
+            moves += 1
+        if moves == 0:
+            break
+    # connectivity split (undersized parts rejoin the heaviest part)
+    parent = np.arange(n)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(src, dst):
+        if u != v and comp[u] == comp[v]:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[rv] = ru
+    roots = np.array([find(i) for i in range(n)])
+    part_w = np.bincount(roots, weights=wgt, minlength=n)
+    main_root = np.full(n_comp, -1, dtype=np.int64)
+    for i in range(n):
+        c = comp[i]
+        if main_root[c] < 0 or part_w[roots[i]] > part_w[main_root[c]]:
+            main_root[c] = roots[i]
+    key = np.where((cutoff > 0) & (part_w[roots] < cutoff),
+                   main_root[comp], roots)
+    uniq, out = np.unique(key, return_inverse=True)
+    return out.astype(np.int64), uniq.shape[0]
 
 
 def radius_knn(xyz_search, xyz_query=None, r=1.0, k=10,

@@ -156,3 +156,128 @@ def make_schedule(name, lr, total_steps, num_warmup_steps=0, **kw):
         return cosine_power_with_warmup(
             lr, total_steps, num_warmup_steps=num_warmup_steps, **kw)
     raise ValueError(f'unknown scheduler {name}')
+
+
+def warmup_constant(lr, num_warmup_steps=0, warmup_init_lr=1e-6,
+                    warmup_strategy='cos'):
+    """Warmup then constant — the base schedule under the plateau
+    controller (reference ReduceLROnPlateauWithWarmup,
+    src/optim/lr_scheduler.py:236: warmup prefix, then the plateau
+    logic owns the decay)."""
+    return _with_warmup(lr, lambda s: s * 0 + lr, num_warmup_steps,
+                        warmup_init_lr=warmup_init_lr,
+                        warmup_strategy=warmup_strategy)
+
+
+class ReduceOnPlateau:
+    """Host-side plateau controller (torch ReduceLROnPlateau
+    semantics, used by the reference's plateau scheduler family).
+    Call `step(metric)` once per validation; read `multiplier` and
+    push it into the optimizer state with `set_lr_multiplier`.
+
+    In a functional/jit world the learning rate cannot depend on a
+    host metric through the compiled schedule, so the decay factor
+    rides the optimizer state as an injected hyperparameter — no
+    retrace when it changes."""
+
+    def __init__(self, mode='max', factor=0.1, patience=10,
+                 threshold=1e-4, threshold_mode='rel', cooldown=0,
+                 min_mult=1e-8):
+        assert mode in ('min', 'max')
+        assert threshold_mode in ('rel', 'abs')
+        self.mode = mode
+        self.factor = float(factor)
+        self.patience = int(patience)
+        self.threshold = float(threshold)
+        self.threshold_mode = threshold_mode
+        self.cooldown = int(cooldown)
+        self.min_mult = float(min_mult)
+        self.best = None
+        self.num_bad = 0
+        self.cooldown_counter = 0
+        self.multiplier = 1.0
+
+    def _is_better(self, a, best):
+        if self.threshold_mode == 'rel':
+            eps = self.threshold * abs(best)
+        else:
+            eps = self.threshold
+        return a > best + eps if self.mode == 'max' else a < best - eps
+
+    def step(self, metric):
+        """Returns True when the multiplier was just reduced."""
+        m = float(metric)
+        if self.best is None or self._is_better(m, self.best):
+            self.best = m
+            self.num_bad = 0
+        elif self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+        else:
+            self.num_bad += 1
+        if self.num_bad > self.patience:
+            self.multiplier = max(self.multiplier * self.factor,
+                                  self.min_mult)
+            self.num_bad = 0
+            self.cooldown_counter = self.cooldown
+            return True
+        return False
+
+
+def make_plateau_optimizer(lr=0.01, weight_decay=1e-4,
+                           transformer_lr_scale=0.1,
+                           num_warmup_steps=2_000,
+                           warmup_init_lr=1e-6, params=None):
+    """AdamW with warmup-then-constant schedule, wrapped so a scalar
+    `lr_mult` hyperparameter (driven by ReduceOnPlateau) scales the
+    updates. The multiplier lives in the optimizer state: updating it
+    between steps does not retrace the jitted train step."""
+    base_sched = warmup_constant(lr, num_warmup_steps, warmup_init_lr)
+    tr_sched = warmup_constant(lr * transformer_lr_scale,
+                               num_warmup_steps, warmup_init_lr)
+
+    def adamw(sched):
+        return optax.adamw(sched, weight_decay=weight_decay)
+
+    if params is None:
+        inner = adamw(base_sched)
+    else:
+        labels = jax.tree_util.tree_map_with_path(
+            lambda path, _: 'transformer'
+            if _is_transformer_param(path) else 'base', params)
+        inner = optax.multi_transform(
+            {'base': adamw(base_sched),
+             'transformer': adamw(tr_sched)}, labels)
+
+    @optax.inject_hyperparams
+    def wrap(lr_mult):
+        return optax.chain(inner, optax.scale(lr_mult))
+
+    return wrap(lr_mult=1.0)
+
+
+def set_lr_multiplier(opt_state, multiplier):
+    """Return a copy of `opt_state` with the plateau `lr_mult`
+    hyperparameter replaced (recurses through wrappers such as
+    optax.MultiSteps)."""
+    import jax.numpy as jnp
+
+    if hasattr(opt_state, 'hyperparams') and \
+            'lr_mult' in opt_state.hyperparams:
+        hp = dict(opt_state.hyperparams)
+        hp['lr_mult'] = jnp.asarray(
+            multiplier, dtype=jnp.asarray(hp['lr_mult']).dtype)
+        return opt_state._replace(hyperparams=hp)
+    if hasattr(opt_state, '_replace') and hasattr(opt_state, '_fields'):
+        updates = {}
+        for field in opt_state._fields:
+            v = getattr(opt_state, field)
+            nv = set_lr_multiplier(v, multiplier)
+            if nv is not v:
+                updates[field] = nv
+        return opt_state._replace(**updates) if updates else opt_state
+    if isinstance(opt_state, (tuple, list)):
+        out = type(opt_state)(
+            set_lr_multiplier(s, multiplier) for s in opt_state)
+        changed = any(a is not b for a, b in zip(out, opt_state))
+        return out if changed else opt_state
+    return opt_state

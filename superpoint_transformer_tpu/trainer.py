@@ -62,6 +62,28 @@ class TensorBoardLogger:
         self.writer.flush()
 
 
+class WandbLogger:
+    """wandb backend (reference src/utils/wandb.py:8 +
+    configs/logger/wandb.yaml): metric rows go to `run.log`, and the
+    trainer pushes validation confusion-matrix figures through
+    `log_figure` (falls back to local JSONL + PNG artifacts when the
+    wandb package is absent — see utils/wandb.py)."""
+
+    def __init__(self, output_dir, project='spt'):
+        from .utils.wandb import WandbRun
+        self.run = WandbRun(output_dir, project=project)
+
+    def log(self, row):
+        split = row.get('split', '')
+        flat = {f'{split}/{k}' if split else k: v
+                for k, v in row.items()
+                if k not in ('split',) and v is not None}
+        self.run.log(flat, step=row.get('epoch'))
+
+    def log_figure(self, name, fig, step=None):
+        self.run.log_figure(name, fig, step=step)
+
+
 class MultiLogger:
     def __init__(self, loggers):
         self.loggers = list(loggers)
@@ -70,9 +92,18 @@ class MultiLogger:
         for lg in self.loggers:
             lg.log(row)
 
+    def log_figure(self, name, fig, step=None):
+        for lg in self.loggers:
+            if hasattr(lg, 'log_figure'):
+                lg.log_figure(name, fig, step=step)
+
+    @property
+    def wants_figures(self):
+        return any(hasattr(lg, 'log_figure') for lg in self.loggers)
+
 
 def make_loggers(names, output_dir, csv_name='metrics.csv'):
-    """'csv' | 'tensorboard' names -> MultiLogger (reference
+    """'csv' | 'tensorboard' | 'wandb' names -> MultiLogger (reference
     configs/logger/ group; csv is always a safe choice)."""
     out = []
     for name in names:
@@ -80,9 +111,12 @@ def make_loggers(names, output_dir, csv_name='metrics.csv'):
             out.append(CSVLogger(osp.join(output_dir, csv_name)))
         elif name == 'tensorboard':
             out.append(TensorBoardLogger(osp.join(output_dir, 'tb')))
+        elif name == 'wandb':
+            out.append(WandbLogger(output_dir))
         else:
             raise ValueError(f'unknown logger {name!r} '
-                             "(expected 'csv' or 'tensorboard')")
+                             "(expected 'csv', 'tensorboard' or "
+                             "'wandb')")
     return MultiLogger(out)
 
 
@@ -120,6 +154,11 @@ class Trainer:
     track_val_idx: int = -1
     # logger backends: any of 'csv', 'tensorboard'
     loggers: tuple = ('csv',)
+    # ReduceOnPlateau knobs (active when task.scheduler == 'plateau';
+    # reference ReduceLROnPlateauWithWarmup,
+    # src/optim/lr_scheduler.py:236)
+    plateau_factor: float = 0.5
+    plateau_patience: int = 3
 
     def __post_init__(self):
         if self.eval_batch_cfg is None:
@@ -130,6 +169,12 @@ class Trainer:
         self.epoch = 0
         self._partition_settings = None
         self._stale_validations = 0
+        self._plateau = None
+        if getattr(self.task, 'scheduler', 'cosine') == 'plateau':
+            from .optim.lr_scheduler import ReduceOnPlateau
+            self._plateau = ReduceOnPlateau(
+                mode='max', factor=self.plateau_factor,
+                patience=self.plateau_patience)
 
     # -- checkpointing ---------------------------------------------------
     def _ckpt_dir(self, name):
@@ -225,6 +270,16 @@ class Trainer:
                     vm = {**vm,
                           **self.validate_panoptic(state, val_loader)}
                 score = vm.get(self.monitor, vm['miou'])
+                if self._plateau is not None and score is not None:
+                    if self._plateau.step(score):
+                        from .optim.lr_scheduler import (
+                            set_lr_multiplier)
+                        state = state.replace(
+                            opt_state=set_lr_multiplier(
+                                state.opt_state,
+                                self._plateau.multiplier))
+                        print(f"[epoch {epoch}] plateau: lr x "
+                              f"{self._plateau.multiplier:g}")
                 if score is not None and score > self.best_miou:
                     self.best_miou = score
                     self.save_checkpoint(state, 'best')
@@ -321,6 +376,15 @@ class Trainer:
                'miou': m['miou'], 'oa': m['oa'], 'macc': m['macc'],
                'time': None}
         self.logger.log(row)
+        if getattr(self.logger, 'wants_figures', False):
+            # confusion-matrix figure at validation end (reference
+            # src/utils/wandb.py:8)
+            from .utils.wandb import confusion_matrix_figure
+            import matplotlib.pyplot as plt
+            fig = confusion_matrix_figure(cm.confmat)
+            self.logger.log_figure(f'{split}/confusion_matrix', fig,
+                                   step=self.epoch)
+            plt.close(fig)
         print(f"[epoch {self.epoch}] {split} miou={m['miou']:.2f} "
               f"oa={m['oa']:.2f} macc={m['macc']:.2f}")
         # raw counts, so callers can concatenate across runs (the

@@ -18,6 +18,7 @@ __all__ = [
     'jitter_key', 'random_tilt_and_rotate', 'random_anisotropic_scale',
     'random_axis_flip', 'sample_sub_nodes', 'sample_radius_subgraphs',
     'sample_segments', 'sample_edges', 'restrict_size',
+    'outliers', 'inliers',
 ]
 
 H_EDGE_KEYS_DEFAULT = (
@@ -419,6 +420,32 @@ def outliers(nag, k_min=1, level=0):
         return nag
     deg = (np.asarray(ni) >= 0).sum(1)
     keep = np.where(deg >= k_min)[0]
+    if keep.shape[0] == d.num_nodes:
+        return nag
+    return nag.select(level, keep)
+
+
+def inliers(nag, k_min, r_max=1.0, level=0, recursive=False):
+    """Keep only points with `k_min` or more neighbors within `r_max`
+    (reference Inliers transform, src/transforms/neighbors.py:137).
+    Runs its own radius search (independent of any stored
+    neighbor_index); `recursive=True` re-checks after each removal
+    round since dropping outliers can orphan their neighbors."""
+    from ..ops.native import radius_knn
+
+    d = nag[level]
+    pos = np.asarray(d.pos, np.float32)
+    keep = np.arange(pos.shape[0])
+    while True:
+        nbr, _ = radius_knn(pos[keep], r=float(r_max),
+                            k=int(k_min) + 1, exclude_self=True)
+        deg = (nbr >= 0).sum(1)
+        ok = deg >= k_min
+        if ok.all():
+            break
+        keep = keep[ok]
+        if not recursive:
+            break
     if keep.shape[0] == d.num_nodes:
         return nag
     return nag.select(level, keep)

@@ -277,3 +277,59 @@ def test_preprocess_cloud_delaunay_builder():
         assert d.edge_attr.shape[1] == 7  # minimalistic features
         if d.num_nodes >= 2:
             assert d.edge_index.shape[1] > 0
+
+
+def test_greedy_cut_refinement_improves_energy():
+    """Phase-3 boundary reassignment must not increase the d0 energy
+    vs the merge-only solver (native/greedy_cut.cpp phase 3 is exact
+    coordinate descent on the same objective)."""
+    from superpoint_transformer_tpu.ops.native import greedy_cut
+    from superpoint_transformer_tpu.transforms.preprocess import (
+        d0_partition_energy)
+    rng = np.random.default_rng(0)
+    n = 600
+    pos = rng.random((n, 3)).astype(np.float32) * [4, 4, 1]
+    feat = np.concatenate(
+        [pos * 0.5, (pos[:, :1] > 2).astype(np.float32)], 1)
+    from scipy.spatial import cKDTree
+    _, nbr = cKDTree(pos).query(pos, k=6)
+    src = np.repeat(np.arange(n), 5)
+    dst = nbr[:, 1:].reshape(-1)
+    keep = src < dst
+    ei = np.stack([src[keep], dst[keep]])
+    ew = np.ones(ei.shape[1], dtype=np.float32)
+    nw = np.ones(n, dtype=np.float32)
+    reg = 0.2
+    res = {}
+    for sweeps in (0, 8):
+        si, nc = greedy_cut(feat, ei, ew, nw, reg=reg, cutoff=4,
+                            refine_sweeps=sweeps)
+        e, _, _ = d0_partition_energy(
+            feat, ei, ew, nw, si, reg=reg)
+        res[sweeps] = (float(e), nc)
+    assert res[8][0] <= res[0][0] + 1e-6, res
+    # refinement actually does something on this geometry
+    assert res[8][0] < res[0][0], res
+
+
+def test_greedy_cut_python_fallback_refines():
+    """The numpy fallback implements the same refinement contract."""
+    from superpoint_transformer_tpu.ops.native import _greedy_cut_py
+    from superpoint_transformer_tpu.transforms.preprocess import (
+        d0_partition_energy)
+    rng = np.random.default_rng(1)
+    n = 200
+    f = rng.random((n, 4)).astype(np.float32)
+    f[:100, 3] += 2.0
+    src = np.arange(n - 1, dtype=np.int32)
+    dst = (src + 1).astype(np.int32)
+    ew = np.ones(n - 1, dtype=np.float32)
+    nw = np.ones(n, dtype=np.float32)
+    e = {}
+    for sweeps in (0, 8):
+        si, nc = _greedy_cut_py(f, src, dst, ew, nw, reg=0.1,
+                                cutoff=3, refine_sweeps=sweeps)
+        assert si.shape == (n,) and nc == si.max() + 1
+        e[sweeps], _, _ = d0_partition_energy(
+            f, np.stack([src, dst]), ew, nw, si, reg=0.1)
+    assert e[8] <= e[0] + 1e-6

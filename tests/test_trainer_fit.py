@@ -148,7 +148,7 @@ def test_tensorboard_logger(tmp_path):
     tb_files = os.listdir(tmp_path / 'tb')
     assert any('tfevents' in f for f in tb_files)
     with pytest.raises(ValueError):
-        make_loggers(('wandb',), str(tmp_path))
+        make_loggers(('mlflow',), str(tmp_path))  # unsupported name
 
 
 @pytest.mark.slow
@@ -231,3 +231,89 @@ def test_track_val_idx_dumps_predictions(tmp_path):
     assert z['logits'].shape[1] == 13
     assert z['pred'].shape == z['logits'].shape[:1]
     assert z['pos'].shape[1] == 3
+
+
+def test_eval_caps_pin_one_compile():
+    """Whole-tile eval with discover_caps(train=False) over the split
+    yields ONE batch signature for differently-sized tiles — so the
+    jitted eval step traces exactly once (VERDICT r1 weak #6; the
+    reference evaluates whole tiles, src/models/semantic.py:1039)."""
+    import jax
+    import numpy as np
+    from superpoint_transformer_tpu.transforms.prepare import (
+        BatchConfig, prepare_batch, discover_caps)
+    from superpoint_transformer_tpu.utils.synthetic import random_nag
+
+    # two tiles of clearly different sizes
+    tiles = [[random_nag(seed=1, n_points=300, n_l1=48, n_l2=12)],
+             [random_nag(seed=2, n_points=520, n_l1=80, n_l2=20)]]
+    cfg = BatchConfig(sample_graph_r=-1, sample_segment_ratio=0)
+    cfg = discover_caps(tiles, cfg, train=False, headroom_levels=0)
+
+    batches = [prepare_batch([n.clone() for n in t], cfg, train=False)
+               for t in tiles]
+    s0 = [(l.shape, str(l.dtype))
+          for l in jax.tree_util.tree_leaves(batches[0])]
+    s1 = [(l.shape, str(l.dtype))
+          for l in jax.tree_util.tree_leaves(batches[1])]
+    assert s0 == s1
+
+    traces = []
+
+    @jax.jit
+    def step(b):
+        traces.append(1)  # runs only when (re)tracing
+        return b.levels[0].x.sum()
+
+    for b in batches:
+        step(b)
+    assert len(traces) == 1, f"{len(traces)} traces for 2 tiles"
+
+
+def test_wandb_logger_backend(tmp_path):
+    """'wandb' logger backend (reference configs/logger/wandb.yaml):
+    metric rows land in the run history and validate() logs a
+    confusion-matrix figure (local JSONL/PNG fallback when the wandb
+    package is absent)."""
+    import jax
+    import json
+    import numpy as np
+    from superpoint_transformer_tpu.trainer import Trainer
+    from superpoint_transformer_tpu.transforms.prepare import (
+        BatchConfig, prepare_batch)
+    from superpoint_transformer_tpu.utils.synthetic import random_nag
+
+    nags = [random_nag(seed=s, n_points=256) for s in range(2)]
+    cfg = BatchConfig(sample_graph_r=-1, sample_segment_ratio=0)
+    from tests.test_trainer_fit import tiny_model, _Loader
+    from superpoint_transformer_tpu.models.semantic import SemanticTask
+    task = SemanticTask(net=tiny_model(), num_classes=13,
+                        total_steps=4, warmup_steps=1)
+    trainer = Trainer(task=task, batch_cfg=cfg,
+                      output_dir=str(tmp_path), max_epochs=1,
+                      loggers=('csv', 'wandb'))
+    example = prepare_batch([n.clone() for n in nags], cfg,
+                            train=True, rng=np.random.default_rng(0))
+    state = task.init_state(jax.random.PRNGKey(0), example)
+    trainer.validate(state, _Loader(nags))
+
+    wdir = tmp_path / 'wandb'
+    hist = (wdir / 'history.jsonl').read_text().splitlines()
+    row = json.loads(hist[-1])
+    assert any(k.endswith('/miou') for k in row)
+    pngs = list(wdir.glob('*confusion_matrix*.png'))
+    assert pngs, list(wdir.iterdir())
+
+
+def test_confusion_matrix_figure_content():
+    from superpoint_transformer_tpu.utils.wandb import (
+        confusion_matrix_figure)
+    import numpy as np
+    cm = np.array([[5, 1], [0, 7]])
+    fig = confusion_matrix_figure(cm, class_names=['a', 'b'])
+    ax = fig.axes[0]
+    assert ax.get_xlabel() == 'predicted'
+    texts = [t.get_text() for t in ax.texts]
+    assert '5' in texts and '7' in texts and '1' in texts
+    import matplotlib.pyplot as plt
+    plt.close(fig)

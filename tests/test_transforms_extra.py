@@ -134,3 +134,23 @@ class TestAugmentationKnobs:
         # rgb columns NOT jittered by node_feat_jitter (reference
         # excludes rgb from the NAGJitterKey key list)
         np.testing.assert_allclose(off[:, -3:], on[:, -3:])
+
+
+def test_inliers_removes_isolated_points():
+    """Inliers keeps points with >= k_min neighbors within r_max
+    (reference Inliers, src/transforms/neighbors.py:137)."""
+    import numpy as np
+    from superpoint_transformer_tpu.transforms.runtime import inliers
+    from superpoint_transformer_tpu.utils.synthetic import random_nag
+    nag = random_nag(seed=5, n_points=200)
+    pos = np.asarray(nag[0].pos)
+    # plant 3 far-away isolated points
+    pos[:3] = [[100, 0, 0], [0, 100, 0], [0, 0, 100]]
+    nag[0]['pos'] = pos
+    out = inliers(nag, k_min=3, r_max=2.0)
+    assert out[0].num_nodes <= 200 - 3
+    kept = np.asarray(out[0].pos)
+    assert (np.abs(kept) < 50).all()
+    # recursive mode converges and returns a consistent NAG
+    out2 = inliers(nag, k_min=3, r_max=2.0, recursive=True)
+    assert out2[0].num_nodes <= out[0].num_nodes

@@ -72,7 +72,15 @@ def main(argv=None):
     probe = DataLoader(datasets['train'], batch_size=batch_size,
                        shuffle=True, seed=seed)
     probe_batches = [nags for _, nags in zip(range(4), probe)]
-    eval_batch_cfg = batch_cfg  # free bucketing for whole tiles
+    # eval caps: probe EVERY val tile (eval is whole-tile and
+    # deterministic, so the max over the split is exact) — one
+    # compiled program per level signature instead of a multi-second
+    # XLA compile per new tile bucket (reference evaluates whole
+    # tiles, src/models/semantic.py:1039)
+    val_probe = list(DataLoader(datasets['val'], batch_size=1))
+    eval_batch_cfg = discover_caps(
+        val_probe, batch_cfg, train=False, headroom_levels=0) \
+        if val_probe else batch_cfg
     batch_cfg = discover_caps(probe_batches, batch_cfg,
                               rng=np.random.default_rng(seed))
     example = prepare_batch(probe_batches[0], batch_cfg, train=True,
