@@ -163,6 +163,24 @@ class BaseDataset:
         return [self.processed_path(c) for c in self.cloud_ids]
 
     # ----- processing ---------------------------------------------------
+    # Subclasses may set a download hint (the reference ships gdown
+    # helpers per dataset, e.g. src/datasets/s3dis.py:479; production
+    # TPU pods have no general egress, so the base behavior is a
+    # guided error rather than a silent network attempt)
+    download_instructions: str = None
+
+    def download(self):
+        """Fetch the raw dataset. The default implementation explains
+        where to place the data (mirrors the reference's per-dataset
+        download helpers without assuming network egress); subclasses
+        with downloadable sources can override."""
+        msg = self.download_instructions or (
+            f'{type(self).__name__}: raw data not found under '
+            f'{self.raw_dir}. Download the dataset (see the dataset '
+            f"class docstring) and extract it so that "
+            f"`id_to_relative_raw_path(cloud_id)` resolves.")
+        raise RuntimeError(msg)
+
     def process(self):
         """Preprocess any missing cloud. Skips per-cloud if the .h5
         already exists (resumable, reference base.py:798). Each host
@@ -176,6 +194,14 @@ class BaseDataset:
         todo = todo[self.host_id::self.num_hosts]
         if not todo:
             return
+        # raw data must exist for the missing clouds; guide the user
+        # to the download path otherwise (reference BaseDataset calls
+        # `download()` from `_process`, src/datasets/base.py:686)
+        first_raw = osp.join(
+            self.raw_dir, self.id_to_relative_raw_path(
+                self._split_tile_id(todo[0])[0]))
+        if not osp.exists(first_raw) and not osp.exists(self.raw_dir):
+            self.download()
         n_workers = min(self.num_workers, len(todo))
         if n_workers > 1:
             import multiprocessing as mp

@@ -91,6 +91,10 @@ class SPT(nn.Module):
     num_graphs: int = 8
     # graph-partition parallelism (parallel/shard_nag.py): mesh axis
     # over which node shards cooperate
+    # 'bfloat16' runs the attention blocks' qkv/RPE/kernel path in
+    # bf16 (fp32 softmax statistics + fp32 params): ~2x less HBM
+    # traffic on the forward's dominant cost. None = full fp32.
+    compute_dtype: Optional[str] = None
     shard_axis: Optional[str] = None
 
     @property
@@ -157,7 +161,8 @@ class SPT(nn.Module):
                     else f'node_mlp_{i_stage}'
                 x_hf = MLP(tuple(self.node_mlp), norm=self.mlp_norm,
                            num_graphs=self.num_graphs,
-                           shard_axis=self.shard_axis, name=name)(
+                           compute_dtype=self.compute_dtype,
+                shard_axis=self.shard_axis, name=name)(
                     x_hf, batch=ni, mask=lvl.node_mask, train=train)
             xs[i_level] = x_hf
 
@@ -171,7 +176,8 @@ class SPT(nn.Module):
                 em = lvl.nbr_mask.reshape(N * K)
                 flat = MLP(tuple(self.h_edge_mlp), norm=self.mlp_norm,
                            num_graphs=self.num_graphs,
-                           shard_axis=self.shard_axis, name=name)(
+                           compute_dtype=self.compute_dtype,
+                shard_axis=self.shard_axis, name=name)(
                     flat, batch=eb, mask=em, train=train)
                 ef = flat.reshape(N, K, -1) * em.reshape(N, K, 1)
             efs[i_level] = ef
@@ -183,7 +189,8 @@ class SPT(nn.Module):
                     else f'v_edge_mlp_{i_stage}'
                 vef = MLP(tuple(self.v_edge_mlp), norm=self.mlp_norm,
                           num_graphs=self.num_graphs,
-                          shard_axis=self.shard_axis, name=name)(
+                          compute_dtype=self.compute_dtype,
+                shard_axis=self.shard_axis, name=name)(
                     vef, batch=self._norm_index(child),
                     mask=child.node_mask, train=train)
             vefs[i_level] = vef
@@ -200,7 +207,9 @@ class SPT(nn.Module):
             heads_share_rpe=self.heads_share_rpe,
             use_pos=self.use_pos, use_diameter=self.use_diameter,
             use_diameter_parent=self.use_diameter_parent,
-            num_graphs=self.num_graphs, shard_axis=self.shard_axis)
+            num_graphs=self.num_graphs,
+            compute_dtype=self.compute_dtype,
+            shard_axis=self.shard_axis)
 
         # ---- first stage ----------------------------------------------
         lvl0 = nag[start]

@@ -91,6 +91,11 @@ class SelfAttentionBlock(nn.Module):
     attn_drop: Optional[float] = None
     drop: Optional[float] = None
     use_pallas: bool = True
+    # 'bfloat16' halves the HBM traffic of the [N, K, H, D] q/k/v
+    # construction + kernel reads — the dominant cost of this block on
+    # TPU (softmax statistics stay fp32 inside the kernel). None/f32
+    # keeps exact parity for tests.
+    compute_dtype: Optional[str] = None
     # graph-partition parallelism: all_gather the k/v node tables over
     # this mesh axis; nbr_idx then holds GLOBAL slots
     # (device * capacity + local slot) — see parallel/shard_nag.py
@@ -108,9 +113,12 @@ class SelfAttentionBlock(nn.Module):
         K = nbr_idx.shape[1]
         H, D, C = self.num_heads, self.qk_dim, self.dim
         DH = D * H
+        dt = jnp.bfloat16 if self.compute_dtype in (
+            'bf16', 'bfloat16') else jnp.float32
 
-        qkv = nn.Dense(2 * DH + C, use_bias=self.qkv_bias,
-                       kernel_init=xavier_uniform_gain(), name='qkv')(x)
+        qkv = nn.Dense(2 * DH + C, use_bias=self.qkv_bias, dtype=dt,
+                       kernel_init=xavier_uniform_gain(), name='qkv')(
+            x.astype(dt))
         q = qkv[:, :DH].reshape(N, H, D)
         k_nodes = qkv[:, DH:2 * DH]
         v_nodes = qkv[:, 2 * DH:]
@@ -124,6 +132,60 @@ class SelfAttentionBlock(nn.Module):
             v_nodes = jax.lax.all_gather(
                 v_nodes, self.shard_axis).reshape(-1, C)
 
+        attn_dropping = (train and self.attn_drop is not None
+                         and self.attn_drop > 0)
+        pallas_ok = (_PALLAS_ENABLED and self.use_pallas
+                     and not attn_dropping
+                     and K % 8 == 0 and N % 128 == 0
+                     # bf16 VMEM tiles are (16, 128) on the last dims
+                     and (dt == jnp.float32 or K % 16 == 0)
+                     and jax.default_backend() != 'cpu')
+
+        # Fully-fused streaming path: k/q/v RPE projections happen
+        # INSIDE the kernel (no [N, K, H*D] HBM materialization) —
+        # covers the flagship RPE configuration exactly
+        fused_rpe = (pallas_ok and edge_feat is not None
+                     and self.k_rpe and self.q_rpe and self.v_rpe
+                     and not self.qk_share_rpe
+                     and not self.heads_share_rpe
+                     and not self.q_on_minus_rpe)
+        if fused_rpe:
+            from ..ops.pallas_attention import (
+                dense_attention_rpe_pallas,
+                dense_attention_rpe_trainable)
+            edge_feat = edge_feat.astype(dt)
+            # materialize the RPE Dense params (same tree as the XLA
+            # path) and hand the weights to the kernel
+            dummy = jnp.zeros((1, edge_feat.shape[-1]), dt)
+            encs = {}
+            for nm, dim_out in (('k_rpe', DH), ('q_rpe', DH),
+                                ('v_rpe', C)):
+                enc = nn.Dense(dim_out, dtype=dt,
+                               kernel_init=xavier_uniform_gain(),
+                               name=nm)
+                enc(dummy)
+                encs[nm] = (enc.variables['params']['kernel'],
+                            enc.variables['params']['bias'])
+            kg = k_nodes[nbr_idx]                   # [N, K, DH]
+            vg = v_nodes[nbr_idx]                   # [N, K, C]
+            degree = nbr_mask.sum(axis=1)
+            scale = qk_scale_from_degree(self.qk_scale, D, degree)
+            fn = dense_attention_rpe_trainable if train \
+                else dense_attention_rpe_pallas
+            out = fn(q, kg, vg, edge_feat,
+                     encs['k_rpe'][0], encs['k_rpe'][1],
+                     encs['q_rpe'][0], encs['q_rpe'][1],
+                     encs['v_rpe'][0], encs['v_rpe'][1],
+                     nbr_mask, scale).reshape(N, C)
+            out = nn.Dense(C, use_bias=True, dtype=dt,
+                           kernel_init=xavier_uniform_gain(),
+                           name='out_proj')(out.astype(dt))
+            out = out.astype(jnp.float32)
+            if self.drop is not None and self.drop > 0:
+                out = nn.Dropout(self.drop,
+                                 deterministic=not train)(out)
+            return out
+
         # Gather keys/values of the neighbors: [N, K, ...]
         k = k_nodes[nbr_idx].reshape(N, K, H, D)
         v = v_nodes[nbr_idx].reshape(N, K, H, C // H)
@@ -135,8 +197,11 @@ class SelfAttentionBlock(nn.Module):
                 r = jnp.tile(r, (1, 1, H))
             return r.reshape(N, K, H, D)
 
+        if edge_feat is not None:
+            edge_feat = edge_feat.astype(dt)
         if self.k_rpe and edge_feat is not None:
-            k_enc = nn.Dense(rpe_dim, kernel_init=xavier_uniform_gain(),
+            k_enc = nn.Dense(rpe_dim, dtype=dt,
+                             kernel_init=xavier_uniform_gain(),
                              name='k_rpe')
             k = k + expand_heads(k_enc(edge_feat))
             if self.q_rpe and self.qk_share_rpe:
@@ -145,12 +210,14 @@ class SelfAttentionBlock(nn.Module):
         if self.q_rpe and not (self.k_rpe and self.qk_share_rpe) \
                 and edge_feat is not None:
             ef = -edge_feat if self.q_on_minus_rpe else edge_feat
-            q_enc = nn.Dense(rpe_dim, kernel_init=xavier_uniform_gain(),
+            q_enc = nn.Dense(rpe_dim, dtype=dt,
+                             kernel_init=xavier_uniform_gain(),
                              name='q_rpe')
             q = q[:, None] + expand_heads(q_enc(ef))
         if self.v_rpe and edge_feat is not None:
             v_rpe_dim = C // H if self.heads_share_rpe else C
-            r = nn.Dense(v_rpe_dim, kernel_init=xavier_uniform_gain(),
+            r = nn.Dense(v_rpe_dim, dtype=dt,
+                         kernel_init=xavier_uniform_gain(),
                          name='v_rpe')(edge_feat)
             if self.heads_share_rpe:
                 r = jnp.tile(r, (1, 1, H))
@@ -163,13 +230,7 @@ class SelfAttentionBlock(nn.Module):
         # HBM-materialized [N, K, H] intermediates. Training uses the
         # custom-VJP wrapper (recompute-style backward); attention
         # dropout needs the materialized attn matrix -> XLA path.
-        attn_dropping = (train and self.attn_drop is not None
-                         and self.attn_drop > 0)
-        use_pallas = (_PALLAS_ENABLED and self.use_pallas
-                      and not attn_dropping
-                      and K % 8 == 0 and N % 128 == 0
-                      and jax.default_backend() != 'cpu')
-        if use_pallas:
+        if pallas_ok:
             from ..ops.pallas_attention import (
                 dense_attention_pallas,
                 dense_attention_pallas_trainable)
@@ -178,11 +239,15 @@ class SelfAttentionBlock(nn.Module):
             out = fn(q, k, v, nbr_mask, scale).reshape(N, C)
         else:
             if q.ndim == 3:  # no q RPE: broadcast inside einsum
-                q = q * scale[:, None, None]
-                compat = jnp.einsum('nhd,nkhd->nkh', q, k)
+                q = (q * scale[:, None, None]).astype(q.dtype)
+                compat = jnp.einsum(
+                    'nhd,nkhd->nkh', q, k,
+                    preferred_element_type=jnp.float32)
             else:            # q got per-edge RPE: [N, K, H, D]
-                q = q * scale[:, None, None, None]
-                compat = jnp.einsum('nkhd,nkhd->nkh', q, k)
+                q = (q * scale[:, None, None, None]).astype(q.dtype)
+                compat = jnp.einsum(
+                    'nkhd,nkhd->nkh', q, k,
+                    preferred_element_type=jnp.float32)
 
             neg = jnp.asarray(-1e30, compat.dtype)
             compat = jnp.where(nbr_mask[:, :, None], compat, neg)
@@ -192,10 +257,13 @@ class SelfAttentionBlock(nn.Module):
                 attn = nn.Dropout(self.attn_drop,
                                   deterministic=not train)(attn)
 
-            out = jnp.einsum('nkh,nkhc->nhc', attn, v).reshape(N, C)
-        out = nn.Dense(C, use_bias=True,
+            out = jnp.einsum(
+                'nkh,nkhc->nhc', attn.astype(v.dtype), v,
+                preferred_element_type=jnp.float32).reshape(N, C)
+        out = nn.Dense(C, use_bias=True, dtype=dt,
                        kernel_init=xavier_uniform_gain(),
-                       name='out_proj')(out)
+                       name='out_proj')(out.astype(dt))
+        out = out.astype(jnp.float32)
         if self.drop is not None and self.drop > 0:
             out = nn.Dropout(self.drop, deterministic=not train)(out)
         return out

@@ -40,16 +40,24 @@ class MLP(nn.Module):
     last_norm: bool = True
     drop: Optional[float] = None
     num_graphs: int = 64
+    # 'bfloat16' runs the Dense/activation chain in bf16 (params and
+    # norm statistics stay fp32); the output is cast back to fp32
+    compute_dtype: Optional[str] = None
     shard_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, batch=None, mask=None, train=True):
+        import jax.numpy as jnp
+        dt = jnp.bfloat16 if self.compute_dtype in (
+            'bf16', 'bfloat16') else None
+        if dt is not None:
+            x = x.astype(dt)
         dims = list(self.dims)
         assert len(dims) >= 2
         use_bias = self.norm is None
         n_layers = len(dims) - 1
         for i in range(1, len(dims)):
-            x = nn.Dense(dims[i], use_bias=use_bias,
+            x = nn.Dense(dims[i], use_bias=use_bias, dtype=dt,
                          kernel_init=xavier_uniform_gain(),
                          name=f'linear_{i - 1}')(x)
             last = i == n_layers
@@ -65,6 +73,8 @@ class MLP(nn.Module):
                 x = self.activation(x)
         if self.drop is not None and self.drop > 0:
             x = nn.Dropout(self.drop, deterministic=not train)(x)
+        if dt is not None:
+            x = x.astype(jnp.float32)
         return x
 
     def _make_norm(self, dim, name):

@@ -85,6 +85,7 @@ class Stage(nn.Module):
     blocks_share_rpe: bool = False
     heads_share_rpe: bool = False
     num_graphs: int = 64
+    compute_dtype: Optional[str] = None
     shard_axis: Optional[str] = None
 
     @property
@@ -142,7 +143,8 @@ class Stage(nn.Module):
             x = MLP(self.in_mlp, activation=self.mlp_activation,
                     norm=self.mlp_norm, drop=self.mlp_drop,
                     num_graphs=self.num_graphs,
-                    shard_axis=self.shard_axis, name='in_mlp')(
+                    compute_dtype=self.compute_dtype,
+                shard_axis=self.shard_axis, name='in_mlp')(
                 x, batch=norm_index, mask=mask, train=train)
 
         for b in range(self.num_blocks):
@@ -160,6 +162,7 @@ class Stage(nn.Module):
                 q_on_minus_rpe=self.q_on_minus_rpe,
                 heads_share_rpe=self.heads_share_rpe,
                 num_graphs=self.num_graphs,
+                compute_dtype=self.compute_dtype,
                 shard_axis=self.shard_axis,
                 name=f'block_{b}')(
                 x, norm_index, nbr_idx=nbr_idx, nbr_mask=nbr_mask,
@@ -169,7 +172,8 @@ class Stage(nn.Module):
             x = MLP(self.out_mlp, activation=self.mlp_activation,
                     norm=self.mlp_norm, drop=self.mlp_drop,
                     num_graphs=self.num_graphs,
-                    shard_axis=self.shard_axis, name='out_mlp')(
+                    compute_dtype=self.compute_dtype,
+                shard_axis=self.shard_axis, name='out_mlp')(
                 x, batch=norm_index, mask=mask, train=train)
 
         if mask is not None and x is not None:

@@ -59,6 +59,7 @@ class TransformerBlock(nn.Module):
     q_on_minus_rpe: bool = False
     heads_share_rpe: bool = False
     num_graphs: int = 64
+    compute_dtype: Optional[str] = None
     shard_axis: Optional[str] = None
 
     @nn.compact
@@ -92,6 +93,7 @@ class TransformerBlock(nn.Module):
                 q_on_minus_rpe=self.q_on_minus_rpe,
                 heads_share_rpe=self.heads_share_rpe,
                 attn_drop=self.attn_drop, drop=self.residual_drop,
+                compute_dtype=self.compute_dtype,
                 shard_axis=self.shard_axis,
                 name='sa')
             if self.pre_norm:

@@ -28,7 +28,7 @@ def forward_star_np(source, num_nodes):
     return perm, pointers
 
 
-def edges_to_dense_neighbors(edge_index, num_nodes, k=None, bucket=8,
+def edges_to_dense_neighbors(edge_index, num_nodes, k=None, bucket=16,
                              drop_excess=True):
     """Convert an edge list [2, E] (source=querying node) to dense
     padded neighbor arrays.
@@ -40,7 +40,9 @@ def edges_to_dense_neighbors(edge_index, num_nodes, k=None, bucket=8,
 
     K is max degree rounded up to a multiple of `bucket` (or the given
     `k`); exact — no edge is dropped (if k is provided and smaller than
-    max degree, an error is raised).
+    max degree, an error is raised). The default bucket of 16 matches
+    the bf16 VMEM tile granularity of the fused attention kernel
+    (ops/pallas_attention.py), so every level takes the Pallas path.
     """
     source = np.asarray(edge_index[0])
     target = np.asarray(edge_index[1])

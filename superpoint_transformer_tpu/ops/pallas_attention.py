@@ -37,14 +37,18 @@ __all__ = ['dense_attention_pallas',
 
 
 def _kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, q_has_k, H, D, C):
-    maskf = m_ref[0]                                # [K, B]
+    # operands may arrive bf16 (half the HBM/VMEM traffic); softmax
+    # statistics and accumulations run in f32
+    f32 = jnp.float32
+    maskf = m_ref[0].astype(f32)                    # [K, B]
     neg_bias = (maskf - 1.0) * 1e30
     for h in range(H):
         compat = jnp.zeros_like(maskf)
         for d in range(D):
             j = h * D + d
-            k_d = k_ref[j]                          # [K, B]
-            q_d = q_ref[j] if q_has_k else q_ref[j, 0:1]  # [K|1, B]
+            k_d = k_ref[j].astype(f32)              # [K, B]
+            q_d = (q_ref[j] if q_has_k
+                   else q_ref[j, 0:1]).astype(f32)  # [K|1, B]
             compat = compat + q_d * k_d
         compat = compat * maskf + neg_bias
         cmax = jnp.max(compat, axis=0, keepdims=True)
@@ -52,7 +56,7 @@ def _kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, q_has_k, H, D, C):
         denom = jnp.maximum(jnp.sum(e, axis=0, keepdims=True), 1e-30)
         attn = e / denom                            # [K, B]
         for c in range(C):
-            v_c = v_ref[h * C + c]                  # [K, B]
+            v_c = v_ref[h * C + c].astype(f32)      # [K, B]
             o_ref[h * C + c] = jnp.sum(attn * v_c, axis=0)
 
 
@@ -86,23 +90,24 @@ def dense_attention_pallas(q, k, v, nbr_mask, scale, block_n=None):
     assert N % block_n == 0 and block_n % 128 == 0, (N, block_n)
     assert K % 8 == 0, f'K={K} must be 8-divisible (pad the slots)'
 
+    dt = k.dtype
     if q_has_k:
         # [N, K, H, D] -> [H*D, K, N]
-        q_t = (q * scale[:, None, None, None]) \
+        q_t = (q * scale[:, None, None, None]).astype(dt) \
             .transpose(2, 3, 1, 0).reshape(H * D, K, N)
         q_spec = pl.BlockSpec((H * D, K, block_n),
                               lambda i: (0, 0, i),
                               memory_space=pltpu.VMEM)
     else:
         # [N, H, D] -> [H*D, 1, N]
-        q_t = (q * scale[:, None, None]) \
+        q_t = (q * scale[:, None, None]).astype(dt) \
             .transpose(1, 2, 0).reshape(H * D, 1, N)
         q_spec = pl.BlockSpec((H * D, 1, block_n),
                               lambda i: (0, 0, i),
                               memory_space=pltpu.VMEM)
     k_t = k.transpose(2, 3, 1, 0).reshape(H * D, K, N)
     v_t = v.transpose(2, 3, 1, 0).reshape(H * C, K, N)
-    maskf = nbr_mask.astype(jnp.float32).T[None]    # [1, K, N]
+    maskf = nbr_mask.astype(dt).T[None]             # [1, K, N]
 
     out = pl.pallas_call(
         partial(_kernel, q_has_k=q_has_k, H=H, D=D, C=C),
@@ -163,3 +168,215 @@ def _bwd(res, g):
 
 
 dense_attention_pallas_trainable.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused-RPE streaming variant. The XLA path materializes three
+# [N, K, H*D]-shaped RPE tensors plus their sums with the gathered
+# keys/values (~6 full-size HBM round-trips per attention block); here
+# the kernel streams neighbor slots with an ONLINE softmax (flash-
+# attention style: running max / denominator / value accumulator per
+# head) and computes the k/q/v RPE projections per slot on the MXU
+# from the compact [De, K, N] edge features. The only big HBM reads
+# are the gathered keys/values and the edge features.
+# ---------------------------------------------------------------------------
+
+
+def _rpe_kernel(q_ref, kg_ref, vg_ref, ef_ref, wk_ref, bk_ref,
+                wq_ref, bq_ref, wv_ref, bv_ref, m_ref, sc_ref, o_ref,
+                *, H, D, C, K):
+    f32 = jnp.float32
+    B = m_ref.shape[2]
+    DH = H * D
+    # layouts put K on the LEADING (untiled) axis: Mosaic requires
+    # dynamic indices on tiled dims to be 8/16-aligned, but the
+    # streaming loop indexes one neighbor slot at a time
+    CH = C // H
+    wk = wk_ref[...].astype(f32)                    # [De, DH]
+    wq = wq_ref[...].astype(f32)
+    wv = wv_ref[...].astype(f32)                    # [De, C]
+    bk = bk_ref[...].astype(f32)                    # [DH, 1]
+    bq = bq_ref[...].astype(f32)
+    bv = bv_ref[...].astype(f32)                    # [C, 1]
+    q_node = q_ref[:, 0, :].astype(f32)             # [DH, B]
+    sc = sc_ref[0, 0, :].astype(f32)                # [B]
+
+    def body(kk, carry):
+        m, s, acc = carry                           # [H,B],[H,B],[C,B]
+        ef = ef_ref[kk].astype(f32)                 # [De, B]
+        k_rpe = jax.lax.dot_general(
+            wk, ef, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32) + bk        # [DH, B]
+        q_rpe = jax.lax.dot_general(
+            wq, ef, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32) + bq
+        v_rpe = jax.lax.dot_general(
+            wv, ef, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32) + bv        # [C, B]
+        k_full = kg_ref[kk].astype(f32) + k_rpe
+        q_full = q_node + q_rpe
+        v_full = vg_ref[kk].astype(f32) + v_rpe
+        prod = q_full * k_full                      # [DH, B]
+        # per-head logits: sum D-sized row groups -> [H, B]; the
+        # softmax scale applies to (q + q_rpe).k as a whole
+        logit = jnp.sum(prod.reshape(H, D, B), axis=1) * sc
+        maskk = m_ref[kk, 0, :].astype(f32)         # [B]
+        logit = logit * maskk + (maskk - 1.0) * 1e30
+        # online softmax update
+        m_new = jnp.maximum(m, logit)
+        alpha = jnp.exp(m - m_new)                  # [H, B]
+        p = jnp.exp(logit - m_new) * maskk          # [H, B]
+        s_new = s * alpha + p
+        # value accumulate: repeat per-head factors over CH channels
+        alpha_c = jnp.repeat(alpha, CH, axis=0)     # [C, B]
+        p_c = jnp.repeat(p, CH, axis=0)
+        acc_new = acc * alpha_c + p_c * v_full
+        return m_new, s_new, acc_new
+
+    m0 = jnp.full((H, B), -1e30, f32)
+    s0 = jnp.zeros((H, B), f32)
+    a0 = jnp.zeros((C, B), f32)
+    # statically unrolled: the RPE dots of different slots are
+    # independent of the online-softmax carry, so unrolling lets
+    # Mosaic software-pipeline them across iterations
+    carry = (m0, s0, a0)
+    for kk in range(K):
+        carry = body(kk, carry)
+    m, s, acc = carry
+    denom = jnp.maximum(s, 1e-30)
+    o_ref[...] = acc / jnp.repeat(denom, CH, axis=0)
+
+
+def dense_attention_rpe_pallas(q_node, k_nodes_g, v_nodes_g, ef,
+                               wk, bk, wq, bq, wv, bv, nbr_mask,
+                               scale, block_n=None, interpret=False):
+    """Streaming fused attention with in-kernel RPE.
+
+    :param q_node: [N, H, D] node queries (no per-edge RPE yet)
+    :param k_nodes_g: [N, K, H*D] gathered neighbor keys (no RPE)
+    :param v_nodes_g: [N, K, C] gathered neighbor values (no RPE)
+    :param ef: [N, K, De] edge features
+    :param wk/bk, wq/bq: [De, H*D] / [H*D] RPE projections
+    :param wv/bv: [De, C] / [C]
+    :param nbr_mask: [N, K] bool
+    :param scale: [N] per-node softmax scale (folded into q)
+    :return: [N, H, C//H] float32
+    """
+    N, K, DH = k_nodes_g.shape
+    H, D = q_node.shape[1], q_node.shape[2]
+    C = v_nodes_g.shape[2]
+    De = ef.shape[2]
+    assert DH == H * D
+    if block_n is None:
+        block_n = 512
+        per_node = 2 * (DH * (K + 1) + K * C + K * De + K) + 4 * 3 * C
+        while block_n > 128 and 2 * block_n * per_node > (10 << 20):
+            block_n //= 2
+    block_n = min(block_n, N)
+    assert N % block_n == 0 and block_n % 128 == 0, (N, block_n)
+
+    dt = k_nodes_g.dtype
+    q_t = q_node.astype(dt).reshape(N, DH).T.reshape(DH, 1, N)
+    sc_t = scale.astype(jnp.float32).reshape(1, 1, N)
+    kg_t = k_nodes_g.transpose(1, 2, 0)             # [K, DH, N]
+    vg_t = v_nodes_g.transpose(1, 2, 0)             # [K, C, N]
+    ef_t = ef.transpose(1, 2, 0).astype(dt)         # [K, De, N]
+    maskf = nbr_mask.astype(dt).T[:, None, :]       # [K, 1, N]
+    w2 = lambda w: w.astype(dt)
+    b2 = lambda b: b.reshape(-1, 1).astype(dt)
+
+    out = pl.pallas_call(
+        partial(_rpe_kernel, H=H, D=D, C=C, K=K),
+        grid=(N // block_n,),
+        in_specs=[
+            pl.BlockSpec((DH, 1, block_n), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, DH, block_n), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, C, block_n), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, De, block_n), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((De, DH), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((DH, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((De, DH), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((DH, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((De, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 1, block_n), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_n), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C, block_n), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, N), jnp.float32),
+        interpret=interpret,
+    )(q_t, kg_t, vg_t, ef_t, w2(wk), b2(bk), w2(wq), b2(bq),
+      w2(wv), b2(bv), maskf, sc_t)
+    # [C, N] -> [N, H, C//H]
+    return out.T.reshape(N, H, C // H)
+
+
+def _rpe_xla_reference(q_node, k_nodes_g, v_nodes_g, ef, wk, bk, wq,
+                       bq, wv, bv, nbr_mask, scale):
+    """Mathematically identical XLA expression (tests + the custom
+    backward of the trainable wrapper)."""
+    N, K, DH = k_nodes_g.shape
+    H, D = q_node.shape[1], q_node.shape[2]
+    C = v_nodes_g.shape[2]
+    k_rpe = ef @ wk + bk                            # [N, K, DH]
+    q_rpe = ef @ wq + bq
+    v_rpe = ef @ wv + bv                            # [N, K, C]
+    k = (k_nodes_g + k_rpe).reshape(N, K, H, D)
+    q = (q_node[:, None] * scale[:, None, None, None]
+         + q_rpe.reshape(N, K, H, D)
+         * scale[:, None, None, None])
+    v = (v_nodes_g + v_rpe).reshape(N, K, H, C // H)
+    compat = jnp.einsum('nkhd,nkhd->nkh', q, k,
+                        preferred_element_type=jnp.float32)
+    neg = jnp.asarray(-1e30, compat.dtype)
+    compat = jnp.where(nbr_mask[:, :, None], compat, neg)
+    attn = jax.nn.softmax(compat, axis=1)
+    attn = attn * nbr_mask[:, :, None].astype(attn.dtype)
+    return jnp.einsum('nkh,nkhc->nhc', attn.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32)
+
+
+@jax.custom_vjp
+def dense_attention_rpe_trainable(q_node, k_nodes_g, v_nodes_g, ef,
+                                  wk, bk, wq, bq, wv, bv, nbr_mask,
+                                  scale):
+    """Differentiable fused-RPE attention: Pallas forward, XLA-autodiff
+    recompute backward (the attention matrix is never stored)."""
+    return dense_attention_rpe_pallas(
+        q_node, k_nodes_g, v_nodes_g, ef, wk, bk, wq, bq, wv, bv,
+        nbr_mask, scale)
+
+
+def _rpe_fwd(q_node, k_nodes_g, v_nodes_g, ef, wk, bk, wq, bq, wv,
+             bv, nbr_mask, scale):
+    out = dense_attention_rpe_pallas(
+        q_node, k_nodes_g, v_nodes_g, ef, wk, bk, wq, bq, wv, bv,
+        nbr_mask, scale)
+    return out, (q_node, k_nodes_g, v_nodes_g, ef, wk, bk, wq, bq,
+                 wv, bv, nbr_mask, scale)
+
+
+def _rpe_bwd(res, g):
+    (q_node, k_nodes_g, v_nodes_g, ef, wk, bk, wq, bq, wv, bv,
+     nbr_mask, scale) = res
+    _, vjp = jax.vjp(
+        lambda *a: _rpe_xla_reference(*a, nbr_mask, scale),
+        q_node, k_nodes_g, v_nodes_g, ef, wk, bk, wq, bq, wv, bv)
+    grads = vjp(g)
+    return grads + (None, None)
+
+
+dense_attention_rpe_trainable.defvjp(_rpe_fwd, _rpe_bwd)

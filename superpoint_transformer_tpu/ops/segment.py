@@ -17,7 +17,42 @@ __all__ = [
 ]
 
 
-def segment_sum(x, idx, num_segments, indices_are_sorted=False):
+# Below this segment count, scatter-adds are reformulated as a
+# one-hot matmul: TPU lowers segment_sum to a serial scatter (measured
+# 26 ms for a 335k-row GraphNorm reduce into 8 graphs vs ~0.2 ms as a
+# [N, G] x [N, C] contraction on the MXU).
+_ONEHOT_MAX_SEGMENTS = 128
+
+
+def _onehot_segment_sum(x, idx, num_segments, acc_dtype=None):
+    out_dtype = acc_dtype or x.dtype
+    oh = (idx[:, None] == jnp.arange(num_segments, dtype=idx.dtype)
+          [None, :])
+    # accumulate in f32 regardless of the streamed dtype (bf16 inputs
+    # keep f32-exact statistics without materializing f32 copies)
+    if x.ndim == 1:
+        out = jnp.einsum('ng,n->g', oh.astype(x.dtype), x,
+                         preferred_element_type=jnp.float32)
+        return out.astype(out_dtype)
+    flat = x.reshape(x.shape[0], -1)
+    out = jnp.einsum('ng,nc->gc', oh.astype(x.dtype), flat,
+                     preferred_element_type=jnp.float32)
+    return out.reshape((num_segments,) + x.shape[1:]).astype(out_dtype)
+
+
+def segment_sum(x, idx, num_segments, indices_are_sorted=False,
+                acc_dtype=None):
+    """`acc_dtype` (e.g. jnp.float32 under bf16 activations) selects
+    the accumulation/output dtype without materializing an upcast
+    input copy."""
+    # float-only: an integer sum routed through an fp32 contraction
+    # would lose exactness past 2^24 (e.g. confmat masses on big tiles)
+    if num_segments <= _ONEHOT_MAX_SEGMENTS and x.shape[0] >= 1024 \
+            and jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
+        return _onehot_segment_sum(jnp.asarray(x), idx, num_segments,
+                                   acc_dtype=acc_dtype)
+    if acc_dtype is not None:
+        x = jnp.asarray(x).astype(acc_dtype)
     return jax.ops.segment_sum(
         x, idx, num_segments=num_segments,
         indices_are_sorted=indices_are_sorted)
@@ -25,7 +60,15 @@ def segment_sum(x, idx, num_segments, indices_are_sorted=False):
 
 def segment_count(idx, num_segments, indices_are_sorted=False, mask=None):
     """Number of elements per segment. `mask` marks valid rows."""
-    ones = jnp.ones(idx.shape[0], dtype=jnp.int32)
+    n = idx.shape[0]
+    if num_segments <= _ONEHOT_MAX_SEGMENTS and 1024 <= n < 2 ** 24:
+        # ones-matmul on the MXU; exact in fp32 since counts <= N < 2^24
+        ones = jnp.ones(n, dtype=jnp.float32)
+        if mask is not None:
+            ones = ones * mask.astype(jnp.float32)
+        return _onehot_segment_sum(ones, idx, num_segments).astype(
+            jnp.int32)
+    ones = jnp.ones(n, dtype=jnp.int32)
     if mask is not None:
         ones = ones * mask.astype(jnp.int32)
     return jax.ops.segment_sum(

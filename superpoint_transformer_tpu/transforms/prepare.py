@@ -59,7 +59,7 @@ class BatchConfig:
     # padding
     node_caps: Optional[Dict[int, int]] = None
     k_caps: Optional[Dict[int, int]] = None
-    bucket_mode: str = 'pow2'
+    bucket_mode: str = 'pow2_fine'
     nano: bool = False
 
 

@@ -18,7 +18,8 @@ __all__ = [
     'jitter_key', 'random_tilt_and_rotate', 'random_anisotropic_scale',
     'random_axis_flip', 'sample_sub_nodes', 'sample_radius_subgraphs',
     'sample_segments', 'sample_edges', 'restrict_size',
-    'outliers', 'inliers',
+    'outliers', 'inliers', 'shuffle', 'select_by_key',
+    'select_columns',
 ]
 
 H_EDGE_KEYS_DEFAULT = (
@@ -474,4 +475,55 @@ def dropout_rows(nag, rng, key='x', p=0.1, level='all'):
             continue
         mask = rng.random(v.shape[0]) >= p
         d[key] = (np.asarray(v) * mask[:, None]).astype(np.float32)
+    return nag
+
+
+def shuffle(nag, rng, level=0):
+    """Random permutation of the level's nodes (reference Shuffle,
+    src/transforms/sampling.py:48)."""
+    n = nag[level].num_nodes
+    return nag.select(level, rng.permutation(n))
+
+
+def select_by_key(nag, key, level=0, negation=False, strict=True,
+                  delete_after=True):
+    """Keep the level's nodes whose boolean `key` attribute is True
+    (reference NAGSelectByKey, src/transforms/data.py:302)."""
+    d = nag[level]
+    mask = d.get(key)
+    if mask is None:
+        if strict:
+            raise ValueError(f'no `{key}` attribute at level {level}')
+        return nag
+    mask = np.asarray(mask)
+    if mask.dtype != bool:
+        if strict:
+            raise ValueError(f'`{key}` has dtype {mask.dtype}, '
+                             'expected bool')
+        return nag
+    if mask.shape != (d.num_nodes,):
+        if strict:
+            raise ValueError(f'`{key}` has shape {mask.shape}, '
+                             f'expected ({d.num_nodes},)')
+        return nag
+    if negation:
+        mask = ~mask
+    nag = nag.select(level, np.where(mask)[0])
+    if delete_after:
+        setattr(nag[level], key, None)
+    return nag
+
+
+def select_columns(nag, key, idx, level='all'):
+    """Keep only the given columns of a 2D attribute (reference
+    SelectColumns / NAGSelectColumns, src/transforms/data.py:379)."""
+    if idx is None:
+        return nag
+    idx = np.atleast_1d(np.asarray(idx, dtype=np.int64))
+    for i in nag._parse_levels(level):
+        d = nag[i]
+        v = d.get(key)
+        if v is None or v.ndim != 2:
+            continue
+        d[key] = v[:, idx]
     return nag

@@ -364,3 +364,14 @@ def test_kitti360_submission_format(tmp_path):
     back = np.load(out)
     assert back.dtype == np.uint8
     np.testing.assert_array_equal(back, KITTI360_TRAINID2ID[pred])
+
+
+def test_missing_raw_guides_to_download(tmp_path):
+    """With neither processed caches nor raw data, process() raises
+    the guided download error (reference BaseDataset.download path,
+    src/datasets/base.py:686; no silent network attempt)."""
+    import pytest
+    from superpoint_transformer_tpu.datasets.s3dis import S3DIS
+    ds = S3DIS(root=str(tmp_path), stage='train', fold=5)
+    with pytest.raises(RuntimeError, match='raw'):
+        ds.process()

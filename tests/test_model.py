@@ -85,3 +85,36 @@ def test_forward_train_batch(demo_nag_path):
     variables = model.init(jax.random.PRNGKey(0), batch, train=False)
     outs = model.apply(variables, batch, train=False)
     assert np.isfinite(np.asarray(outs[0])).all()
+
+
+def test_compute_dtype_bf16_close_to_fp32():
+    """SPT(compute_dtype='bfloat16') runs the attention path in bf16
+    (fp32 softmax stats + fp32 params) and stays close to the fp32
+    model under identical params — the flagship perf configuration."""
+    import dataclasses
+    import jax
+    import numpy as np
+    from superpoint_transformer_tpu.models.semantic import (
+        SemanticSegmentationModel)
+    from superpoint_transformer_tpu.transforms.prepare import (
+        BatchConfig, prepare_batch)
+    from superpoint_transformer_tpu.utils.synthetic import random_nag
+    from tests.test_train import tiny_model
+
+    nag = random_nag(seed=0, n_points=256)
+    cfg = BatchConfig(sample_graph_r=-1, sample_segment_ratio=0)
+    batch = prepare_batch([nag], cfg, train=False,
+                          rng=np.random.default_rng(0))
+    net32 = tiny_model()
+    net16 = dataclasses.replace(net32, compute_dtype='bfloat16')
+    m32 = SemanticSegmentationModel(net=net32, num_classes=13)
+    m16 = SemanticSegmentationModel(net=net16, num_classes=13)
+    v = m32.init(jax.random.PRNGKey(0), batch, train=False)
+    # same params are valid for both precisions (params stay fp32)
+    o32 = m32.apply(v, batch, train=False)
+    o16 = m16.apply(v, batch, train=False)
+    a, b = np.asarray(o32[0]), np.asarray(o16[0])
+    assert np.isfinite(b).all()
+    denom = np.abs(a).mean() + 1e-6
+    assert np.abs(a - b).mean() / denom < 0.1, \
+        np.abs(a - b).mean() / denom

@@ -156,3 +156,51 @@ def test_geometric_features_line():
                            jnp.asarray(mask), k_min=3)
     lin = np.asarray(f['linearity'])
     assert (lin > 0.9).all()
+
+
+def test_segment_sum_onehot_path_matches_scatter():
+    """The small-num_segments one-hot matmul path (MXU reformulation
+    of the TPU-hostile scatter) is numerically identical to
+    jax.ops.segment_sum."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from superpoint_transformer_tpu.ops.segment import (
+        segment_sum, segment_count, segment_mean)
+    rng = np.random.default_rng(0)
+    n, g = 5000, 8  # n >= 1024 and g <= 128 -> one-hot path
+    x = jnp.asarray(rng.standard_normal((n, 7)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, g, n), jnp.int32)
+    ref = jax.ops.segment_sum(x, idx, num_segments=g)
+    got = segment_sum(x, idx, g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+    # 1-D input
+    ref1 = jax.ops.segment_sum(x[:, 0], idx, num_segments=g)
+    got1 = segment_sum(x[:, 0], idx, g)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1),
+                               rtol=1e-5, atol=1e-4)
+    # counts (+ mask) stay exact integers
+    mask = jnp.asarray(rng.random(n) < 0.7)
+    cnt = segment_count(idx, g, mask=mask)
+    ref_cnt = jax.ops.segment_sum(
+        mask.astype(jnp.int32), idx, num_segments=g)
+    np.testing.assert_array_equal(np.asarray(cnt), np.asarray(ref_cnt))
+    # out-of-range padding ids contribute nothing (jax drop semantics)
+    idx2 = idx.at[:100].set(g + 5)
+    np.testing.assert_allclose(
+        np.asarray(segment_sum(x, idx2, g)),
+        np.asarray(jax.ops.segment_sum(x, idx2, num_segments=g)),
+        rtol=1e-5, atol=1e-4)
+    # integer VALUES keep the exact scatter path
+    xi = jnp.asarray(rng.integers(0, 1 << 26, n), jnp.int64)
+    np.testing.assert_array_equal(
+        np.asarray(segment_sum(xi, idx, g)),
+        np.asarray(jax.ops.segment_sum(xi, idx, num_segments=g)))
+    # mean composes
+    np.testing.assert_allclose(
+        np.asarray(segment_mean(x, idx, g, mask=mask)),
+        np.asarray(jax.ops.segment_sum(
+            x * mask[:, None], idx, num_segments=g))
+        / np.maximum(np.asarray(ref_cnt)[:, None], 1),
+        rtol=1e-5, atol=1e-4)

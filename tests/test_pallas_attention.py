@@ -96,3 +96,67 @@ def test_pallas_attention_gradients_match_xla():
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-5, rtol=3e-5)
+
+
+def _rpe_inputs(dtype=jnp.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    N, K, H, D, C, De = 256, 16, 4, 4, 32, 8
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s), dtype)
+    q = mk(N, H, D)
+    kg = mk(N, K, H * D)
+    vg = mk(N, K, C)
+    ef = mk(N, K, De)
+    wk = mk(De, H * D) * 0.3
+    bk = mk(H * D) * 0.1
+    wq = mk(De, H * D) * 0.3
+    bq = mk(H * D) * 0.1
+    wv = mk(De, C) * 0.3
+    bv = mk(C) * 0.1
+    mask = jnp.asarray(rng.random((N, K)) < 0.7).at[:, 0].set(True)
+    scale = jnp.asarray(rng.random(N) * 0.5 + 0.2, jnp.float32)
+    return (q, kg, vg, ef, wk, bk, wq, bq, wv, bv, mask, scale)
+
+
+def test_fused_rpe_kernel_matches_xla():
+    """The streaming fused-RPE kernel (in-kernel k/q/v projections +
+    online softmax) equals the XLA reference expression."""
+    from superpoint_transformer_tpu.ops.pallas_attention import (
+        dense_attention_rpe_pallas, _rpe_xla_reference)
+    args = _rpe_inputs()
+    ref = np.asarray(_rpe_xla_reference(*args), np.float32)
+    got = np.asarray(_run_kernel(
+        dense_attention_rpe_pallas, *args), np.float32)
+    np.testing.assert_allclose(
+        got.reshape(ref.shape), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_fused_rpe_trainable_grads_flow():
+    """The custom-VJP wrapper produces finite grads for every input
+    including the RPE weights (XLA-recompute backward)."""
+    from superpoint_transformer_tpu.ops.pallas_attention import (
+        dense_attention_rpe_trainable, _rpe_xla_reference)
+    args = _rpe_inputs()
+
+    def loss_fused(q, kg, vg, ef, wk, bk, wq, bq, wv, bv):
+        if jax.default_backend() == 'cpu':
+            from jax.experimental.pallas import tpu as pltpu
+            with pltpu.force_tpu_interpret_mode():
+                out = dense_attention_rpe_trainable(
+                    q, kg, vg, ef, wk, bk, wq, bq, wv, bv,
+                    args[10], args[11])
+        else:
+            out = dense_attention_rpe_trainable(
+                q, kg, vg, ef, wk, bk, wq, bq, wv, bv, args[10],
+                args[11])
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q, kg, vg, ef, wk, bk, wq, bq, wv, bv):
+        out = _rpe_xla_reference(q, kg, vg, ef, wk, bk, wq, bq, wv,
+                                 bv, args[10], args[11])
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 4, 6, 8))(*args[:10])
+    g_ref = jax.grad(loss_ref, argnums=(0, 4, 6, 8))(*args[:10])
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)

@@ -154,3 +154,42 @@ def test_inliers_removes_isolated_points():
     # recursive mode converges and returns a consistent NAG
     out2 = inliers(nag, k_min=3, r_max=2.0, recursive=True)
     assert out2[0].num_nodes <= out[0].num_nodes
+
+
+def test_shuffle_select_by_key_select_columns():
+    """Long-tail transforms (reference Shuffle sampling.py:48,
+    NAGSelectByKey data.py:302, SelectColumns data.py:379)."""
+    import numpy as np
+    from superpoint_transformer_tpu.transforms.runtime import (
+        shuffle, select_by_key, select_columns)
+    from superpoint_transformer_tpu.utils.synthetic import random_nag
+    import pytest
+
+    nag = random_nag(seed=9, n_points=128)
+    n0 = nag[0].num_nodes
+    out = shuffle(nag.clone(), np.random.default_rng(0))
+    assert out[0].num_nodes == n0
+    assert not np.array_equal(np.asarray(out[0].pos),
+                              np.asarray(nag[0].pos))
+    assert set(map(tuple, np.asarray(out[0].pos))) == \
+        set(map(tuple, np.asarray(nag[0].pos)))
+
+    nag2 = nag.clone()
+    keep = np.zeros(n0, dtype=bool)
+    keep[: n0 // 2] = True
+    nag2[0]['is_val'] = keep
+    sel = select_by_key(nag2, 'is_val', level=0)
+    assert sel[0].num_nodes == n0 // 2
+    assert sel[0].get('is_val') is None  # delete_after
+    with pytest.raises(ValueError):
+        select_by_key(nag.clone(), 'missing_key')
+    # negation + non-strict passthrough
+    nag3 = nag.clone()
+    nag3[0]['is_val'] = keep
+    neg = select_by_key(nag3, 'is_val', negation=True)
+    assert neg[0].num_nodes == n0 - n0 // 2
+    same = select_by_key(nag.clone(), 'missing', strict=False)
+    assert same[0].num_nodes == n0
+
+    cols = select_columns(nag.clone(), 'rgb', [0, 2], level=0)
+    assert cols[0].rgb.shape[1] == 2
