@@ -178,6 +178,26 @@ class InstanceData(CSRData):
         return InstanceData(
             ptr, new_obj[sort], counts[sort], new_y[sort])
 
+    @classmethod
+    def cat(cls, objs):
+        """Concatenate per-cloud InstanceData with object-id offsets so
+        instances of different scenes never collide (the reference's
+        InstanceBatch.from_list guarantee, src/data/instance.py /
+        src/metrics/panoptic.py:218)."""
+        import numpy as np
+        ptr_off = 0
+        obj_off = 0
+        ptrs, obj_v, cnt_v, y_v = [np.zeros(1, np.int64)], [], [], []
+        for o in objs:
+            ptrs.append(o.pointers[1:] + ptr_off)
+            ptr_off += o.pointers[-1]
+            obj_v.append(o.obj + obj_off)
+            obj_off += int(o.obj.max()) + 1 if o.obj.size else 0
+            cnt_v.append(o.count)
+            y_v.append(o.y)
+        return cls(np.concatenate(ptrs), np.concatenate(obj_v),
+                   np.concatenate(cnt_v), np.concatenate(y_v))
+
     # ---- reference InstanceData API (delegates to ops.instance;
     # lazy imports avoid the data <-> ops cycle) ----------------------
 

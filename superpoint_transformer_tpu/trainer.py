@@ -555,18 +555,6 @@ def validate_panoptic(task, state, loader, batch_cfg, num_classes,
 
 
 def _cat_instance(objs):
-    """Concatenate per-cloud level-1 InstanceData with obj-id offsets
-    (batch collation for gt overlaps)."""
+    """Batch collation for gt overlaps (InstanceData.cat)."""
     from .data.csr import InstanceData
-    ptr_off = 0
-    obj_off = 0
-    ptrs, obj_v, cnt_v, y_v = [np.zeros(1, np.int64)], [], [], []
-    for o in objs:
-        ptrs.append(o.pointers[1:] + ptr_off)
-        ptr_off += o.pointers[-1]
-        obj_v.append(o.obj + obj_off)
-        obj_off += int(o.obj.max()) + 1 if o.obj.size else 0
-        cnt_v.append(o.count)
-        y_v.append(o.y)
-    return InstanceData(np.concatenate(ptrs), np.concatenate(obj_v),
-                        np.concatenate(cnt_v), np.concatenate(y_v))
+    return InstanceData.cat(objs)

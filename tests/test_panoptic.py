@@ -366,3 +366,17 @@ def test_instance_data_method_api():
     ei, aff = inst.instance_graph(np.array([[0, 1], [1, 2]]),
                                   num_classes=5)
     assert ei.shape[1] == aff.shape[0] == 2
+
+
+def test_instance_data_cat_offsets_objects():
+    """InstanceData.cat offsets object ids per scene so instances
+    never collide (reference InstanceBatch.from_list guarantee)."""
+    a = InstanceData(np.array([0, 2]), np.array([0, 1]),
+                     np.array([5, 3]), np.array([0, 1]))
+    b = InstanceData(np.array([0, 1, 2]), np.array([0, 0]),
+                     np.array([7, 2]), np.array([2, 2]))
+    c = InstanceData.cat([a, b])
+    assert c.num_groups == 3
+    np.testing.assert_array_equal(c.obj, [0, 1, 2, 2])
+    np.testing.assert_array_equal(c.count, [5, 3, 7, 2])
+    np.testing.assert_array_equal(c.pointers, [0, 2, 3, 4])
