@@ -23,7 +23,7 @@ from flax import struct
 
 from .nag import NAG
 from .csr import Cluster
-from ..ops.graph import edges_to_dense_neighbors
+from ..ops.graph import edges_to_dense_neighbors, _round_up
 
 __all__ = ['PaddedLevel', 'PaddedNAG', 'PaddedPointCloud', 'batch_nags',
            'sort_nag_by_super', 'pad_nag', 'pad_point_cloud', 'bucket']
@@ -49,6 +49,11 @@ class PaddedLevel:
     obj_edge_mask: Optional[jnp.ndarray] = None    # [Eo]
     obj_edge_affinity: Optional[jnp.ndarray] = None  # [Eo] target
     cnn_nbr_idx: Optional[jnp.ndarray] = None     # [N, K^3] sparse conv
+    # transpose neighbor table (see pad_nag): incoming flattened
+    # [N*K] slot ids per node — turns the attention gather's backward
+    # scatter into a gather
+    nbr_in_idx: Optional[jnp.ndarray] = None      # [N, K_in] int32
+    nbr_in_mask: Optional[jnp.ndarray] = None     # [N, K_in] bool
 
     @property
     def capacity(self):
@@ -316,6 +321,29 @@ def pad_nag(nag, num_classes=None, node_caps=None, k_caps=None,
             full_mask[:n] = nbr_mask
             kw['nbr_idx'] = full_idx
             kw['nbr_mask'] = full_mask
+            # transpose table: for each node m, the flattened [N*K]
+            # slots (n, k) with nbr_idx[n, k] == m. The backward of
+            # the attention k/v gather then becomes a GATHER over
+            # incoming slots instead of a TPU scatter-add (serial on
+            # TPU — the same pathology the one-hot segment reduce
+            # fixes for norms); see nn/attention.py gather_nodes.
+            tgt = full_idx[full_mask]
+            slots = np.flatnonzero(full_mask.reshape(-1)).astype(
+                np.int64)
+            order = np.argsort(tgt, kind='stable')
+            tgt_s, slots_s = tgt[order], slots[order]
+            deg_in = np.bincount(tgt_s, minlength=cap)
+            k_in = int(max(_round_up(int(deg_in.max(initial=0)), 16),
+                           16))
+            in_idx = np.zeros((cap, k_in), dtype=np.int32)
+            in_mask = np.zeros((cap, k_in), dtype=bool)
+            starts = np.zeros(cap + 1, dtype=np.int64)
+            np.cumsum(deg_in, out=starts[1:])
+            rank = np.arange(slots_s.shape[0]) - starts[tgt_s]
+            in_idx[tgt_s, rank] = slots_s
+            in_mask[tgt_s, rank] = True
+            kw['nbr_in_idx'] = in_idx
+            kw['nbr_in_mask'] = in_mask
             ea = d.get('edge_attr')
             if ea is not None:
                 # invalid slots keep whatever edge 0 carries — finite

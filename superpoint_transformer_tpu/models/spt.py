@@ -231,7 +231,9 @@ class SPT(nn.Module):
                 xs[1], self._norm_index(lvl0), pos=lvl0.pos,
                 node_size=lvl0.node_size, super_index=lvl0.super_index,
                 num_super=parent_cap, nbr_idx=lvl0.nbr_idx,
-                nbr_mask=lvl0.nbr_mask, edge_feat=efs.get(1),
+                nbr_mask=lvl0.nbr_mask,
+                nbr_in_idx=lvl0.nbr_in_idx,
+                nbr_in_mask=lvl0.nbr_in_mask, edge_feat=efs.get(1),
                 mask=lvl0.node_mask, train=train)
         else:
             first = PointStage(
@@ -284,6 +286,8 @@ class SPT(nn.Module):
                 num_super=None if is_last
                 else nag[i_level + 1].capacity,
                 nbr_idx=lvl.nbr_idx, nbr_mask=lvl.nbr_mask,
+                nbr_in_idx=lvl.nbr_in_idx,
+                nbr_in_mask=lvl.nbr_in_mask,
                 edge_feat=efs.get(i_level),
                 v_edge_attr=vefs.get(i_level),
                 child_mask=child.node_mask, mask=lvl.node_mask,
@@ -318,6 +322,8 @@ class SPT(nn.Module):
                 node_size=lvl.node_size, super_index=lvl.super_index,
                 num_super=nag[i_level + 1].capacity,
                 nbr_idx=lvl.nbr_idx, nbr_mask=lvl.nbr_mask,
+                nbr_in_idx=lvl.nbr_in_idx,
+                nbr_in_mask=lvl.nbr_in_mask,
                 edge_feat=efs.get(i_level), mask=lvl.node_mask,
                 train=train)
             up_outputs.append(x)

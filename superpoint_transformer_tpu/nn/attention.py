@@ -102,12 +102,16 @@ class SelfAttentionBlock(nn.Module):
     shard_axis: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, nbr_idx, nbr_mask, edge_feat=None, train=True):
+    def __call__(self, x, nbr_idx, nbr_mask, edge_feat=None, train=True,
+                 nbr_in_idx=None, nbr_in_mask=None):
         """
         :param x: [N, C] node features
         :param nbr_idx: [N, K] neighbor (key/value source) node ids
         :param nbr_mask: [N, K] validity
         :param edge_feat: [N, K, De] edge features for RPE
+        :param nbr_in_idx/nbr_in_mask: [N, K_in] transpose neighbor
+            table (ops/gather.py) — backward of the k/v gathers runs
+            as a gather instead of a TPU scatter
         """
         N = x.shape[0]
         K = nbr_idx.shape[1]
@@ -126,11 +130,24 @@ class SelfAttentionBlock(nn.Module):
         if self.shard_axis is not None:
             # cross-shard neighbors: assemble the GLOBAL k/v tables
             # (one all_gather per block — rides ICI; superpoint levels
-            # are small so this is cheap relative to attention math)
+            # are small so this is cheap relative to attention math).
+            # The transpose table is local-only — fall back to the
+            # plain gather under sharding.
             k_nodes = jax.lax.all_gather(
                 k_nodes, self.shard_axis).reshape(-1, DH)
             v_nodes = jax.lax.all_gather(
                 v_nodes, self.shard_axis).reshape(-1, C)
+            nbr_in_idx = nbr_in_mask = None
+
+        if nbr_in_idx is not None and train:
+            from ..ops.gather import gather_rows_t
+
+            def gather(table):
+                return gather_rows_t(table, nbr_idx, nbr_in_idx,
+                                     nbr_in_mask)
+        else:
+            def gather(table):
+                return table[nbr_idx]
 
         attn_dropping = (train and self.attn_drop is not None
                          and self.attn_drop > 0)
@@ -166,8 +183,8 @@ class SelfAttentionBlock(nn.Module):
                 enc(dummy)
                 encs[nm] = (enc.variables['params']['kernel'],
                             enc.variables['params']['bias'])
-            kg = k_nodes[nbr_idx]                   # [N, K, DH]
-            vg = v_nodes[nbr_idx]                   # [N, K, C]
+            kg = gather(k_nodes)                    # [N, K, DH]
+            vg = gather(v_nodes)                    # [N, K, C]
             degree = nbr_mask.sum(axis=1)
             scale = qk_scale_from_degree(self.qk_scale, D, degree)
             fn = dense_attention_rpe_trainable if train \
@@ -187,8 +204,8 @@ class SelfAttentionBlock(nn.Module):
             return out
 
         # Gather keys/values of the neighbors: [N, K, ...]
-        k = k_nodes[nbr_idx].reshape(N, K, H, D)
-        v = v_nodes[nbr_idx].reshape(N, K, H, C // H)
+        k = gather(k_nodes).reshape(N, K, H, D)
+        v = gather(v_nodes).reshape(N, K, H, C // H)
 
         rpe_dim = D if self.heads_share_rpe else DH
 

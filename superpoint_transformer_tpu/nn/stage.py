@@ -100,7 +100,7 @@ class Stage(nn.Module):
     def __call__(self, x, norm_index, pos=None, diameter=None,
                  node_size=None, super_index=None, num_super=None,
                  nbr_idx=None, nbr_mask=None, edge_feat=None, mask=None,
-                 train=True):
+                 train=True, nbr_in_idx=None, nbr_in_mask=None):
         """Returns (x [N, out_dim], diameter_parent [num_super, 1])."""
         N = (x if x is not None else pos).shape[0]
 
@@ -165,7 +165,8 @@ class Stage(nn.Module):
                 compute_dtype=self.compute_dtype,
                 shard_axis=self.shard_axis,
                 name=f'block_{b}')(
-                x, norm_index, nbr_idx=nbr_idx, nbr_mask=nbr_mask,
+                x, norm_index, nbr_in_idx=nbr_in_idx,
+                nbr_in_mask=nbr_in_mask, nbr_idx=nbr_idx, nbr_mask=nbr_mask,
                 edge_feat=edge_feat, mask=mask, train=train)
 
         if self.out_mlp is not None:
@@ -193,7 +194,7 @@ class DownNFuseStage(Stage):
                  node_size=None, super_index=None, num_super=None,
                  nbr_idx=None, nbr_mask=None, edge_feat=None,
                  v_edge_attr=None, child_mask=None, mask=None,
-                 train=True):
+                 train=True, nbr_in_idx=None, nbr_in_mask=None):
         if self.pool in ('max', 'min', 'mean', 'sum', 'std'):
             x_pooled = pool(self.pool, x_child, pool_index, num_parents,
                             mask=child_mask)
@@ -213,6 +214,7 @@ class DownNFuseStage(Stage):
             self, x_fused, norm_index, pos=pos, diameter=diameter,
             node_size=node_size, super_index=super_index,
             num_super=num_super, nbr_idx=nbr_idx, nbr_mask=nbr_mask,
+            nbr_in_idx=nbr_in_idx, nbr_in_mask=nbr_in_mask,
             edge_feat=edge_feat, mask=mask, train=train)
 
 
@@ -226,7 +228,8 @@ class UpNFuseStage(Stage):
                  num_parents=None, pos=None, diameter=None,
                  node_size=None, super_index=None, num_super=None,
                  nbr_idx=None, nbr_mask=None, edge_feat=None,
-                 mask=None, train=True):
+                 mask=None, train=True, nbr_in_idx=None,
+                 nbr_in_mask=None):
         idx = jnp.clip(unpool_index, 0, x_parent.shape[0] - 1)
         x_unpool = x_parent[idx]
         x_fused = fuse(self.fusion, x_child, x_unpool)
@@ -234,6 +237,7 @@ class UpNFuseStage(Stage):
             self, x_fused, norm_index, pos=pos, diameter=diameter,
             node_size=node_size, super_index=super_index,
             num_super=num_super, nbr_idx=nbr_idx, nbr_mask=nbr_mask,
+            nbr_in_idx=nbr_in_idx, nbr_in_mask=nbr_in_mask,
             edge_feat=edge_feat, mask=mask, train=train)
 
 

@@ -64,7 +64,8 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, norm_index, nbr_idx=None, nbr_mask=None,
-                 edge_feat=None, mask=None, train=True):
+                 edge_feat=None, mask=None, train=True,
+                 nbr_in_idx=None, nbr_in_mask=None):
         def make_norm(name):
             norm = _NORMS[self.norm](self.dim,
                                      num_graphs=self.num_graphs,
@@ -99,11 +100,13 @@ class TransformerBlock(nn.Module):
             if self.pre_norm:
                 h = make_norm('sa_norm')(x, batch=norm_index, mask=mask)
                 h = sa(h, nbr_idx, nbr_mask, edge_feat=edge_feat,
-                       train=train)
+                       train=train, nbr_in_idx=nbr_in_idx,
+                       nbr_in_mask=nbr_in_mask)
                 x = shortcut + dp(h)
             else:
                 h = sa(x, nbr_idx, nbr_mask, edge_feat=edge_feat,
-                       train=train)
+                       train=train, nbr_in_idx=nbr_in_idx,
+                       nbr_in_mask=nbr_in_mask)
                 x = make_norm('sa_norm')(shortcut + dp(h),
                                          batch=norm_index, mask=mask)
 

@@ -204,3 +204,52 @@ def test_segment_sum_onehot_path_matches_scatter():
             x * mask[:, None], idx, num_segments=g))
         / np.maximum(np.asarray(ref_cnt)[:, None], 1),
         rtol=1e-5, atol=1e-4)
+
+
+def test_gather_rows_t_grad_matches_plain_gather():
+    """gather_rows_t's transpose-table backward equals the autodiff
+    of a plain gather (ops/gather.py — the train-step hot fix: the
+    plain gather's backward is a serial TPU scatter)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from superpoint_transformer_tpu.ops.gather import gather_rows_t
+
+    rng = np.random.default_rng(0)
+    N, K, C = 64, 8, 5
+    table = jnp.asarray(rng.standard_normal((N, C)), jnp.float32)
+    nbr = rng.integers(0, N, (N, K)).astype(np.int32)
+    mask = rng.random((N, K)) < 0.8
+    nbr = np.where(mask, nbr, 0)
+    # build the transpose table like data/pad.py does
+    tgt = nbr[mask]
+    slots = np.flatnonzero(mask.reshape(-1)).astype(np.int64)
+    order = np.argsort(tgt, kind='stable')
+    tgt_s, slots_s = tgt[order], slots[order]
+    deg = np.bincount(tgt_s, minlength=N)
+    k_in = max(int(deg.max()), 1)
+    in_idx = np.zeros((N, k_in), dtype=np.int32)
+    in_mask = np.zeros((N, k_in), dtype=bool)
+    starts = np.zeros(N + 1, dtype=np.int64)
+    np.cumsum(deg, out=starts[1:])
+    rank = np.arange(slots_s.shape[0]) - starts[tgt_s]
+    in_idx[tgt_s, rank] = slots_s
+    in_mask[tgt_s, rank] = True
+    nbr_j = jnp.asarray(nbr)
+    maskf = jnp.asarray(mask)[:, :, None].astype(jnp.float32)
+
+    def loss_t(t):
+        out = gather_rows_t(t, nbr_j, jnp.asarray(in_idx),
+                            jnp.asarray(in_mask))
+        return ((out * maskf) ** 2).sum()
+
+    def loss_plain(t):
+        return ((t[nbr_j] * maskf) ** 2).sum()
+
+    # forward identical
+    np.testing.assert_allclose(float(loss_t(table)),
+                               float(loss_plain(table)), rtol=1e-6)
+    gt = jax.grad(loss_t)(table)
+    gp = jax.grad(loss_plain)(table)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(gp),
+                               rtol=1e-5, atol=1e-5)
