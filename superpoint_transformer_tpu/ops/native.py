@@ -15,7 +15,7 @@ import os
 import numpy as np
 
 __all__ = ['greedy_cut', 'radius_knn', 'eigen_features',
-           'native_available']
+           'anchor_nn', 'subedges_pairs', 'native_available']
 
 _LIB = None
 
@@ -60,6 +60,24 @@ def _load():
                     ctypes.POINTER(ctypes.c_int32)]
             except AttributeError:
                 # library predates the eigen kernel
+                pass
+            try:
+                i64p = ctypes.POINTER(ctypes.c_int64)
+                f64p = ctypes.POINTER(ctypes.c_double)
+                lib.spt_anchor_nn.restype = None
+                lib.spt_anchor_nn.argtypes = [
+                    ctypes.c_int64, f64p, ctypes.c_int64, i64p, i64p,
+                    ctypes.c_int64, i64p, i64p, ctypes.c_int64,
+                    i64p, i64p]
+                lib.spt_subedges.restype = None
+                lib.spt_subedges.argtypes = [
+                    ctypes.c_int64, f64p, ctypes.c_int64, i64p, i64p,
+                    ctypes.c_int64, i64p, i64p, ctypes.c_double,
+                    ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+                    ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                    ctypes.c_int32, i64p, i64p, i64p, i64p]
+            except AttributeError:
+                # library predates the subedge kernels
                 pass
             _LIB = lib
             return lib
@@ -349,6 +367,75 @@ def radius_knn(xyz_search, xyz_query=None, r=1.0, k=10,
         idx, dist = out_i, out_d
     idx = np.where(idx >= xs.shape[0], -1, idx).astype(np.int32)
     return idx, dist.astype(np.float32)
+
+
+def anchor_nn(points, order, ptr, edge_index, cycles=3):
+    """Per-edge anchor (approximate closest point pair) search, native
+    C++/OpenMP (native/subedges.cpp). `points` [N, 3] float64, CSR
+    (`order`, `ptr`) over segments, trimmed `edge_index` [2, E].
+    Returns [2, E] int64 point ids, or None if the native library
+    lacks the kernel."""
+    lib = _load()
+    if not lib or not hasattr(lib, 'spt_anchor_nn'):
+        return None
+    pts = np.ascontiguousarray(points, dtype=np.float64)
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    ptr = np.ascontiguousarray(ptr, dtype=np.int64)
+    src = np.ascontiguousarray(edge_index[0], dtype=np.int64)
+    dst = np.ascontiguousarray(edge_index[1], dtype=np.int64)
+    e = src.shape[0]
+    out_s = np.empty(e, dtype=np.int64)
+    out_t = np.empty(e, dtype=np.int64)
+    lib.spt_anchor_nn(
+        pts.shape[0], _ptr(pts, ctypes.c_double),
+        ptr.shape[0] - 1, _ptr(order, ctypes.c_int64),
+        _ptr(ptr, ctypes.c_int64), e, _ptr(src, ctypes.c_int64),
+        _ptr(dst, ctypes.c_int64), int(cycles),
+        _ptr(out_s, ctypes.c_int64), _ptr(out_t, ctypes.c_int64))
+    return np.stack([out_s, out_t])
+
+
+def subedges_pairs(points, order, ptr, edge_index, ratio=0.2,
+                   k_min=20, cycles=3, margin=0.2,
+                   halfspace_filter=True, bbox_filter=True,
+                   target_pc_flip=True, source_pc_sort=False):
+    """Native per-edge subedge pipeline (native/subedges.cpp; twin of
+    ops/subedges.py:subedges_np). Returns (pairs [2, M] int64 point
+    ids, uid [M] int64 edge ids), or None if the kernel is missing."""
+    lib = _load()
+    if not lib or not hasattr(lib, 'spt_subedges'):
+        return None
+    pts = np.ascontiguousarray(points, dtype=np.float64)
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    ptr = np.ascontiguousarray(ptr, dtype=np.int64)
+    src = np.ascontiguousarray(edge_index[0], dtype=np.int64)
+    dst = np.ascontiguousarray(edge_index[1], dtype=np.int64)
+    e = src.shape[0]
+    sizes = ptr[1:] - ptr[:-1]
+    ub = np.minimum(sizes[src], sizes[dst])
+    out_ptr = np.zeros(e + 1, dtype=np.int64)
+    np.cumsum(ub, out=out_ptr[1:])
+    cap = int(out_ptr[-1])
+    out_s = np.empty(cap, dtype=np.int64)
+    out_t = np.empty(cap, dtype=np.int64)
+    out_k = np.empty(e, dtype=np.int64)
+    lib.spt_subedges(
+        pts.shape[0], _ptr(pts, ctypes.c_double),
+        ptr.shape[0] - 1, _ptr(order, ctypes.c_int64),
+        _ptr(ptr, ctypes.c_int64), e, _ptr(src, ctypes.c_int64),
+        _ptr(dst, ctypes.c_int64), float(ratio), int(k_min),
+        int(cycles), float(margin), int(bool(halfspace_filter)),
+        int(bool(bbox_filter)), int(bool(target_pc_flip)),
+        int(bool(source_pc_sort)), _ptr(out_ptr, ctypes.c_int64),
+        _ptr(out_s, ctypes.c_int64), _ptr(out_t, ctypes.c_int64),
+        _ptr(out_k, ctypes.c_int64))
+    # compact the ub-strided per-edge blocks into dense [M] arrays
+    uid = np.repeat(np.arange(e, dtype=np.int64), out_k)
+    new_ptr = np.zeros(e + 1, dtype=np.int64)
+    np.cumsum(out_k, out=new_ptr[1:])
+    rel = np.arange(new_ptr[-1], dtype=np.int64) - new_ptr[uid]
+    pos = out_ptr[uid] + rel
+    return np.stack([out_s[pos], out_t[pos]]), uid
 
 
 def eigen_features(xyz, nbr_idx, add_self=True):

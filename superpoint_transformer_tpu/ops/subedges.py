@@ -29,7 +29,7 @@ from .graph import to_trimmed_np
 __all__ = [
     'base_vectors_3d_np', 'scatter_nearest_neighbor_np',
     'cluster_radius_nn_graph_np', 'subedges_np',
-    'minimalistic_edge_features_np',
+    'minimalistic_edge_features_np', 'largest_eig3_np',
 ]
 
 
@@ -81,13 +81,62 @@ def _group_first_of_sorted(order, uid, ptr):
     return order[ptr[:-1]]
 
 
+def largest_eig3_np(cov):
+    """Deterministic largest-eigenvalue eigenvector of symmetric 3x3
+    matrices [E, 3, 3] (closed-form trigonometric eigenvalue + row
+    cross-products for the eigenvector). Sign-canonicalized so the
+    largest-|entry| component is positive — shared semantics with the
+    native C++ twin (native/subedges.cpp), unlike np.linalg.eigh whose
+    eigenvector signs are implementation-defined."""
+    c = np.asarray(cov, dtype=np.float64)
+    E = c.shape[0]
+    c00, c11, c22 = c[:, 0, 0], c[:, 1, 1], c[:, 2, 2]
+    c01, c02, c12 = c[:, 0, 1], c[:, 0, 2], c[:, 1, 2]
+    p1 = c01 ** 2 + c02 ** 2 + c12 ** 2
+    q = (c00 + c11 + c22) / 3.0
+    p2 = (c00 - q) ** 2 + (c11 - q) ** 2 + (c22 - q) ** 2 + 2.0 * p1
+    p = np.sqrt(np.maximum(p2 / 6.0, 0.0))
+    safe_p = np.where(p > 0, p, 1.0)
+    b = (c - q[:, None, None] * np.eye(3)) / safe_p[:, None, None]
+    detb = (b[:, 0, 0] * (b[:, 1, 1] * b[:, 2, 2] - b[:, 1, 2] ** 2)
+            - b[:, 0, 1] * (b[:, 0, 1] * b[:, 2, 2]
+                            - b[:, 1, 2] * b[:, 0, 2])
+            + b[:, 0, 2] * (b[:, 0, 1] * b[:, 1, 2]
+                            - b[:, 1, 1] * b[:, 0, 2]))
+    r = np.clip(detb / 2.0, -1.0, 1.0)
+    lam = q + 2.0 * p * np.cos(np.arccos(r) / 3.0)
+    # eigenvector: cross products of rows of (C - lam I); take the
+    # most independent pair (largest cross norm)
+    a = c - lam[:, None, None] * np.eye(3)
+    cr = np.stack([np.cross(a[:, 0], a[:, 1]),
+                   np.cross(a[:, 0], a[:, 2]),
+                   np.cross(a[:, 1], a[:, 2])], axis=1)  # [E, 3, 3]
+    norms = np.einsum('eij,eij->ei', cr, cr)
+    best = np.argmax(norms, axis=1)
+    v = cr[np.arange(E), best]
+    nv = np.sqrt(np.einsum('ei,ei->e', v, v))
+    degenerate = (nv <= 1e-30) | (p2 <= 0)
+    v = np.where(degenerate[:, None], [1.0, 0.0, 0.0],
+                 v / np.where(nv > 0, nv, 1.0)[:, None])
+    # canonical sign: the largest-|entry| component is positive
+    pick = np.argmax(np.abs(v), axis=1)
+    sgn = np.sign(v[np.arange(E), pick])
+    sgn = np.where(sgn == 0, 1.0, sgn)
+    return v * sgn[:, None]
+
+
 def scatter_nearest_neighbor_np(points, index, edge_index, cycles=3,
-                                csr=None):
+                                csr=None, use_native=True):
     """Approximate closest point pair ("anchors") per segment pair
     (reference src/utils/scatter.py:128). Returns [2, E] point ids."""
     num_segments = int(index.max()) + 1
     order, ptr = csr if csr is not None else _segment_csr(
         index, num_segments)
+    if use_native and edge_index.shape[1] > 0:
+        from .native import anchor_nn
+        out = anchor_nn(points, order, ptr, edge_index, cycles=cycles)
+        if out is not None:
+            return out
     s_idx, t_idx = edge_index[0], edge_index[1]
     S_idx, S_uid, S_ptr = _edge_wise_points(order, ptr, s_idx)
     T_idx, T_uid, T_ptr = _edge_wise_points(order, ptr, t_idx)
@@ -189,7 +238,7 @@ def _apply_mask(mask, arrs, uid, n_groups):
 def subedges_np(points, index, edge_index, ratio=0.2, k_min=20,
                 cycles=3, margin=0.2, halfspace_filter=True,
                 bbox_filter=True, target_pc_flip=True,
-                source_pc_sort=False, csr=None):
+                source_pc_sort=False, csr=None, use_native=True):
     """Level-0 point pairs making up each segment-pair edge
     (reference src/utils/graph.py:99). Returns
     (trimmed edge_index [2, E], ST point-id pairs [2, M], uid [M])."""
@@ -201,6 +250,16 @@ def subedges_np(points, index, edge_index, ratio=0.2, k_min=20,
     if E == 0:
         return edge_index, np.zeros((2, 0), dtype=np.int64), \
             np.zeros(0, dtype=np.int64)
+    if use_native:
+        from .native import subedges_pairs
+        out = subedges_pairs(
+            points, order, ptr, edge_index, ratio=ratio, k_min=k_min,
+            cycles=cycles, margin=margin,
+            halfspace_filter=halfspace_filter, bbox_filter=bbox_filter,
+            target_pc_flip=target_pc_flip,
+            source_pc_sort=source_pc_sort)
+        if out is not None:
+            return edge_index, out[0], out[1]
 
     anchors = scatter_nearest_neighbor_np(
         points, index, edge_index, cycles=cycles, csr=(order, ptr))
@@ -287,8 +346,7 @@ def subedges_np(points, index, edge_index, ratio=0.2, k_min=20,
                 cov[:, a, b] = v
                 cov[:, b, a] = v
         cov /= cnt[:, None, None]
-        _, vec = np.linalg.eigh(cov)
-        return vec[:, :, -1]  # largest-eigenvalue component
+        return largest_eig3_np(cov)  # largest-eigenvalue component
 
     s_v = first_component(S_pts, S_uid)
     t_v = first_component(T_pts, T_uid)

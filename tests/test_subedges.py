@@ -166,3 +166,48 @@ def test_features_multiple_edges_grouping():
     # both edges point +x on average
     assert (ea[:, 0] > 0).all()
     assert (ea[:, 6] > 0).all()
+
+
+def _clustered_scene(seed=0, n_seg=120):
+    rng = np.random.default_rng(seed)
+    centers = rng.random((n_seg, 3)) * 6
+    sizes = rng.integers(15, 300, n_seg)
+    pts = np.concatenate([c + rng.standard_normal((n, 3)) * 0.25
+                          for c, n in zip(centers, sizes)])
+    index = np.repeat(np.arange(n_seg), sizes)
+    perm = rng.permutation(pts.shape[0])
+    return pts[perm], index[perm], centers
+
+
+def test_native_subedges_twin_parity():
+    """The C++ kernels (native/subedges.cpp) must reproduce the numpy
+    path bit-for-bit: same anchors, same pairs, same uid — across all
+    filter combinations."""
+    from superpoint_transformer_tpu.ops.native import native_available
+    if not native_available():
+        pytest.skip('native library not built')
+    from scipy.spatial import cKDTree
+    pts, index, centers = _clustered_scene()
+    n_seg = centers.shape[0]
+    _, nb = cKDTree(centers).query(centers, k=5)
+    src = np.repeat(np.arange(n_seg), 4)
+    dst = nb[:, 1:].reshape(-1)
+    ei = np.stack([src, dst])
+    csr = _segment_csr(index, n_seg)
+
+    a_nat = scatter_nearest_neighbor_np(pts, index, ei, csr=csr,
+                                        use_native=True)
+    a_np = scatter_nearest_neighbor_np(pts, index, ei, csr=csr,
+                                       use_native=False)
+    np.testing.assert_array_equal(a_nat, a_np)
+
+    for hs in (True, False):
+        for bb in (True, False):
+            got = subedges_np(pts, index, ei, ratio=0.25, k_min=12,
+                              halfspace_filter=hs, bbox_filter=bb,
+                              csr=csr, use_native=True)
+            want = subedges_np(pts, index, ei, ratio=0.25, k_min=12,
+                               halfspace_filter=hs, bbox_filter=bb,
+                               csr=csr, use_native=False)
+            for g, w in zip(got, want):
+                np.testing.assert_array_equal(g, w)
