@@ -160,3 +160,39 @@ def test_fused_rpe_trainable_grads_flow():
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_fused_rpe_pallas_backward_kernel_matches_xla():
+    """The single-pass Pallas backward kernel (LSE-rebuilt attention
+    weights, in-kernel weight-grad accumulation) equals XLA autodiff
+    of the reference expression — for ALL ten gradients."""
+    import superpoint_transformer_tpu.ops.pallas_attention as pa
+    args = _rpe_inputs()
+    mask, scale = args[10], args[11]
+
+    def loss_kernel(*a10):
+        out = pa.dense_attention_rpe_trainable(*a10, mask, scale)
+        return (out.astype(jnp.float32) * _w).sum()
+
+    def loss_ref(*a10):
+        out = pa._rpe_xla_reference(*a10, mask, scale)
+        return (out.astype(jnp.float32) * _w).sum()
+
+    rng = np.random.default_rng(7)
+    out_shape = np.asarray(pa._rpe_xla_reference(*args)).shape
+    _w = jnp.asarray(rng.standard_normal(out_shape), jnp.float32)
+
+    old = pa._FORCE_INTERPRET_BWD
+    pa._FORCE_INTERPRET_BWD = True
+    try:
+        gk = jax.grad(loss_kernel, argnums=tuple(range(10)))(
+            *args[:10])
+    finally:
+        pa._FORCE_INTERPRET_BWD = old
+    gr = jax.grad(loss_ref, argnums=tuple(range(10)))(*args[:10])
+    names = ['q', 'kg', 'vg', 'ef', 'wk', 'bk', 'wq', 'bq', 'wv',
+             'bv']
+    for nm, a, b in zip(names, gk, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4,
+            err_msg=f'grad mismatch for {nm}')
