@@ -1,14 +1,21 @@
-// Fixed-radius k-nearest-neighbor search on a uniform voxel hash grid
+// Fixed-radius k-nearest-neighbor search on a uniform voxel grid
 // (role of the FRNN CUDA library in the reference,
 // src/utils/neighbors.py:24-48; fresh CPU design for the host
 // preprocessing path — the device path uses XLA sort-based KNN).
 //
-// Cell size adapts to the point density (targets ~2k points per
+// Cell size adapts to the point density (targets ~2·k points per
 // cell) instead of using the search radius: with dense clouds and a
 // large radius an r-sized 27-cell scan visits millions of candidates
 // per query. The search expands ring by ring (Chebyshev shells) and
 // stops when the k-th best distance is closer than the nearest
 // unvisited shell — classic best-first grid KNN.
+//
+// Performance notes (v2): the grid is a dense CSR (counting sort)
+// rather than a hash map — cell lookup is one multiply-add instead of
+// a hash probe; the bounding box caps the dense allocation by
+// growing the cell when the cloud is sparse. Queries are processed
+// in cell-sorted order so consecutive queries touch the same shells
+// (cache locality), and all distance math is single-precision.
 //
 // Outputs -1 indices (and +inf distances) for missing neighbors,
 // matching the reference's convention.
@@ -17,26 +24,13 @@
 #include <cmath>
 #include <vector>
 #include <algorithm>
-#include <unordered_map>
+#include <numeric>
 #include <limits>
 #ifdef _OPENMP
 #include <omp.h>
 #endif
 
 namespace {
-struct CellKey {
-    int64_t x, y, z;
-    bool operator==(const CellKey& o) const {
-        return x == o.x && y == o.y && z == o.z;
-    }
-};
-struct CellHash {
-    size_t operator()(const CellKey& k) const {
-        return (size_t)(k.x * 73856093LL ^ k.y * 19349663LL
-                        ^ k.z * 83492791LL);
-    }
-};
-
 struct Heap {
     // max-heap of (d2, idx) capped at k
     std::vector<std::pair<float, int32_t>> v;
@@ -73,7 +67,7 @@ extern "C" void spt_radius_knn(
         return;
     }
 
-    // ---- adaptive cell size: ~2k points per cell ----------------------
+    // ---- adaptive cell size: ~2·k points per cell ---------------------
     float lo[3] = {INF, INF, INF}, hi[3] = {-INF, -INF, -INF};
     for (int64_t i = 0; i < n_search; ++i)
         for (int d = 0; d < 3; ++d) {
@@ -89,64 +83,157 @@ extern "C" void spt_radius_knn(
     if (std::isfinite(r) && r > 0)
         cell = std::min(cell, r);           // never exceed the radius
     cell = std::max(cell, 1e-6);
-    const double inv = 1.0 / cell;
 
-    std::unordered_map<CellKey, std::vector<int32_t>, CellHash> grid;
-    grid.reserve((size_t)(n_search / 8 + 16));
+    // dense-grid budget: at most ~4 cells per point (collinear or
+    // planar clouds collapse the density-derived cell; grow it until
+    // the dense allocation is bounded)
+    int64_t dims[3];
+    auto fit_dims = [&]() {
+        for (;;) {
+            bool ok = true;
+            double total = 1.0;
+            for (int d = 0; d < 3; ++d) {
+                const double ext = (double)(hi[d] - lo[d]);
+                const double nd = std::floor(ext / cell) + 1.0;
+                if (nd > 2e9) { ok = false; break; }
+                dims[d] = (int64_t)nd;
+                total *= nd;
+            }
+            if (ok && total <= (double)(4 * n_search + 1024)) break;
+            cell *= 1.5;
+        }
+    };
+    fit_dims();
+
+    // Scan clouds concentrate on 2D surfaces: the 3D-volume-derived
+    // cell then holds far more points than intended and every query
+    // scans thousands of candidates. One cheap occupancy pass
+    // estimates the real points-per-occupied-cell; for surface-like
+    // density (mass ~ cell^2) shrinking by sqrt(k / mean) retargets
+    // occupied cells to ~k points, which empirically minimizes
+    // candidate work for both uniform and surface clouds.
+    {
+        const double inv0 = 1.0 / cell;
+        std::vector<int32_t> cnt(
+            (size_t)(dims[0] * dims[1] * dims[2]), 0);
+        const int64_t s_y = dims[2], s_x = dims[1] * dims[2];
+        for (int64_t i = 0; i < n_search; ++i) {
+            int64_t c[3];
+            for (int d = 0; d < 3; ++d) {
+                int64_t v = (int64_t)std::floor(
+                    (xyz_search[i * 3 + d] - lo[d]) * inv0);
+                c[d] = std::min(std::max(v, (int64_t)0), dims[d] - 1);
+            }
+            ++cnt[c[0] * s_x + c[1] * s_y + c[2]];
+        }
+        int64_t occ = 0;
+        for (int32_t v : cnt) occ += (v > 0);
+        const double mean = (double)n_search / std::max<int64_t>(occ, 1);
+        // empirically tuned: ~k/2 points per occupied cell minimizes
+        // candidate work on both uniform-volume and surface clouds
+        const double target = 0.5 * (double)std::max<int64_t>(k, 8);
+        if (mean > 1.2 * target) {
+            cell *= std::sqrt(target / mean);
+            cell = std::max(cell, 1e-6);
+            fit_dims();
+        }
+    }
+    const float invf = (float)(1.0 / cell);
+    const int64_t sy = dims[2], sx = dims[1] * dims[2];
+    const int64_t ncells = dims[0] * sx;
+
+    auto cell_of = [&](const float* p, int64_t c[3]) {
+        for (int d = 0; d < 3; ++d) {
+            int64_t v = (int64_t)std::floor((p[d] - lo[d]) * invf);
+            c[d] = std::min(std::max(v, (int64_t)0), dims[d] - 1);
+        }
+    };
+
+    // ---- CSR grid via counting sort -----------------------------------
+    std::vector<int64_t> cid(n_search);
+    std::vector<int32_t> ptr(ncells + 1, 0);
     for (int64_t i = 0; i < n_search; ++i) {
-        CellKey key{(int64_t)std::floor(xyz_search[i * 3] * inv),
-                    (int64_t)std::floor(xyz_search[i * 3 + 1] * inv),
-                    (int64_t)std::floor(xyz_search[i * 3 + 2] * inv)};
-        grid[key].push_back((int32_t)i);
+        int64_t c[3];
+        cell_of(xyz_search + i * 3, c);
+        cid[i] = c[0] * sx + c[1] * sy + c[2];
+        ++ptr[cid[i] + 1];
+    }
+    for (int64_t c = 0; c < ncells; ++c) ptr[c + 1] += ptr[c];
+    std::vector<int32_t> pts(n_search);
+    {
+        std::vector<int32_t> cur(ptr.begin(), ptr.end() - 1);
+        for (int64_t i = 0; i < n_search; ++i)
+            pts[cur[cid[i]]++] = (int32_t)i;
     }
 
-    const double r2 = std::isfinite(r) ? r * r : INF;
+    const float r2 = std::isfinite(r) ? (float)(r * r) : INF;
     const int64_t max_ring = std::isfinite(r)
-        ? (int64_t)std::ceil(r * inv) + 1
+        ? (int64_t)std::ceil(r * invf) + 1
         : std::numeric_limits<int64_t>::max();
+    const float cellf = (float)cell;
 
-    // populated-cell bounding box: shells are clipped to it, so
-    // degenerate data (collinear/planar clouds collapse the adaptive
-    // cell) and queries far outside the cloud stay cheap instead of
-    // scanning O(ring^2) empty cells per shell
-    const int64_t clo[3] = {(int64_t)std::floor(lo[0] * inv),
-                            (int64_t)std::floor(lo[1] * inv),
-                            (int64_t)std::floor(lo[2] * inv)};
-    const int64_t chi[3] = {(int64_t)std::floor(hi[0] * inv),
-                            (int64_t)std::floor(hi[1] * inv),
-                            (int64_t)std::floor(hi[2] * inv)};
+    // ---- query order: sort queries by cell for shell locality ---------
+    std::vector<int32_t> qorder(n_query);
+    std::iota(qorder.begin(), qorder.end(), 0);
+    {
+        std::vector<int64_t> qcid(n_query);
+        for (int64_t q = 0; q < n_query; ++q) {
+            int64_t c[3];
+            cell_of(xyz_query + q * 3, c);
+            qcid[q] = c[0] * sx + c[1] * sy + c[2];
+        }
+        std::sort(qorder.begin(), qorder.end(),
+                  [&](int32_t a, int32_t b) {
+                      return qcid[a] < qcid[b];
+                  });
+    }
 
     // queries are independent: parallelize across cores (the role of
     // FRNN's GPU parallelism / cut-pursuit's OpenMP in the reference).
     // OMP_NUM_THREADS=1 in per-cloud worker processes avoids
     // oversubscription (datasets/base.py:_preprocess_worker_init).
 #ifdef _OPENMP
-#pragma omp parallel for schedule(dynamic, 64)
+#pragma omp parallel for schedule(dynamic, 256)
 #endif
-    for (int64_t q = 0; q < n_query; ++q) {
+    for (int64_t qi = 0; qi < n_query; ++qi) {
+        const int64_t q = qorder[qi];
         const float qx = xyz_query[q * 3], qy = xyz_query[q * 3 + 1],
                     qz = xyz_query[q * 3 + 2];
-        const int64_t c[3] = {(int64_t)std::floor(qx * inv),
-                              (int64_t)std::floor(qy * inv),
-                              (int64_t)std::floor(qz * inv)};
+        int64_t c[3];
+        cell_of(xyz_query + q * 3, c);
         Heap heap((size_t)k);
 
-        // box bounds relative to the query cell; no populated cell
-        // lies beyond Chebyshev distance `reach`
-        int64_t blo[3], bhi[3], reach = 0;
-        for (int d = 0; d < 3; ++d) {
-            blo[d] = clo[d] - c[d];
-            bhi[d] = chi[d] - c[d];
+        // populated-box bounds relative to the query cell
+        const int64_t blo[3] = {-c[0], -c[1], -c[2]};
+        const int64_t bhi[3] = {dims[0] - 1 - c[0],
+                                dims[1] - 1 - c[1],
+                                dims[2] - 1 - c[2]};
+        int64_t reach = 0;
+        for (int d = 0; d < 3; ++d)
             reach = std::max(reach, (int64_t)std::max(
                 std::llabs(blo[d]), std::llabs(bhi[d])));
-        }
         const int64_t ring_end = std::min(max_ring, reach);
+        const int64_t qbase = c[0] * sx + c[1] * sy + c[2];
+
+        auto visit = [&](int64_t dx, int64_t dy, int64_t dz) {
+            const int64_t cc = qbase + dx * sx + dy * sy + dz;
+            const int32_t b = ptr[cc], e = ptr[cc + 1];
+            for (int32_t t = b; t < e; ++t) {
+                const int32_t i = pts[t];
+                if (exclude_self && (int64_t)i == q) continue;
+                const float ddx = xyz_search[i * 3] - qx;
+                const float ddy = xyz_search[i * 3 + 1] - qy;
+                const float ddz = xyz_search[i * 3 + 2] - qz;
+                const float d2 = ddx * ddx + ddy * ddy + ddz * ddz;
+                if (d2 <= r2) heap.push(d2, i);
+            }
+        };
 
         for (int64_t ring = 0; ring <= ring_end; ++ring) {
             // stop when the k-th best is closer than the nearest
             // possible point in this shell
             if (ring > 0) {
-                const double shell_min = (double)(ring - 1) * cell;
+                const float shell_min = (float)(ring - 1) * cellf;
                 if (shell_min * shell_min > heap.worst()) break;
                 if (shell_min * shell_min > r2) break;
             }
@@ -159,20 +246,6 @@ extern "C" void spt_radius_knn(
             const int64_t z0 = std::max(-ring, blo[2]),
                           z1 = std::min(ring, bhi[2]);
             if (x0 > x1 || y0 > y1 || z0 > z1) continue;
-            auto visit = [&](int64_t dx, int64_t dy, int64_t dz) {
-                auto it = grid.find({c[0] + dx, c[1] + dy, c[2] + dz});
-                if (it == grid.end()) return;
-                for (int32_t i : it->second) {
-                    if (exclude_self && (int64_t)i == q)
-                        continue;
-                    const double ddx = xyz_search[i * 3] - qx;
-                    const double ddy = xyz_search[i * 3 + 1] - qy;
-                    const double ddz = xyz_search[i * 3 + 2] - qz;
-                    const double d2 = ddx * ddx + ddy * ddy + ddz * ddz;
-                    if (d2 <= r2)
-                        heap.push((float)d2, i);
-                }
-            };
             for (int64_t dx = x0; dx <= x1; ++dx)
                 for (int64_t dy = y0; dy <= y1; ++dy) {
                     if (std::llabs(dx) == ring
