@@ -35,6 +35,15 @@ struct HeapItem {
     bool operator<(const HeapItem& o) const { return gain < o.gain; }
 };
 
+// Flat adjacency entry: (neighbor component id, accumulated cut weight).
+// Component degrees stay small (k-NN adjacency, small-to-large merging),
+// so contiguous arrays with linear scans beat per-node hash maps on both
+// cache traffic and allocation churn.
+struct Nbr {
+    int32_t c;
+    double w;
+};
+
 struct Solver {
     int64_t n, d;
     const float* f;
@@ -42,7 +51,7 @@ struct Solver {
     std::vector<double> mu;           // component means [n*d]
     std::vector<int32_t> parent;      // union-find
     std::vector<uint64_t> version;    // bumped on every merge
-    std::vector<std::unordered_map<int32_t, double>> adj;  // cut weights
+    std::vector<std::vector<Nbr>> adj;  // cut weights (flat lists)
     std::priority_queue<HeapItem> heap;
     double reg;
 
@@ -71,11 +80,36 @@ struct Solver {
     }
 
     void push(int32_t a, int32_t b, double W) {
-        heap.push({gain(a, b, W), a, b, version[a] + version[b]});
+        // Non-positive pairs never merge and only bloat the heap; any
+        // later merge touching a or b re-evaluates the pair, so
+        // skipping them preserves the exact greedy order (the heap
+        // invariant "top >= max current gain" only concerns positive
+        // gains, which all keep a fresh-or-better entry).
+        double g = gain(a, b, W);
+        if (g > 0)
+            heap.push({g, a, b, version[a] + version[b]});
     }
 
-    // merge component b into a (a keeps the larger adjacency)
-    int32_t merge(int32_t a, int32_t b) {
+    double* find_w(int32_t a, int32_t b) {
+        for (auto& e : adj[a])
+            if (e.c == b) return &e.w;
+        return nullptr;
+    }
+
+    void erase_nbr(int32_t a, int32_t b) {
+        auto& v = adj[a];
+        for (size_t i = 0; i < v.size(); ++i)
+            if (v[i].c == b) {
+                v[i] = v.back();
+                v.pop_back();
+                return;
+            }
+    }
+
+    // merge component b into a (a keeps the larger adjacency).
+    // `with_heap=false` skips the neighborhood refresh (phase 2 never
+    // reads the heap, so those pushes are pure waste).
+    int32_t merge(int32_t a, int32_t b, bool with_heap = true) {
         if (adj[a].size() < adj[b].size()) std::swap(a, b);
         parent[b] = a;
         double sa = S[a], sb = S[b], s = sa + sb;
@@ -86,20 +120,45 @@ struct Solver {
         S[a] = s;
         version[a]++;
         version[b]++;
-        adj[a].erase(b);
+        erase_nbr(a, b);
         for (auto& kv : adj[b]) {
-            int32_t c = find(kv.first);
+            int32_t c = find(kv.c);
             if (c == a || c == b) continue;
-            adj[a][c] += kv.second;
-            adj[c].erase(b);
-            adj[c][a] = adj[a][c];
+            double* wa = find_w(a, c);
+            double total;
+            if (wa) {
+                *wa += kv.w;
+                total = *wa;
+            } else {
+                adj[a].push_back({c, kv.w});
+                total = kv.w;
+            }
+            // rename c's entry for b into a (accumulating if c was
+            // already adjacent to a)
+            auto& vc = adj[c];
+            size_t ib = vc.size(), ia = vc.size();
+            for (size_t i = 0; i < vc.size(); ++i) {
+                if (vc[i].c == b) ib = i;
+                else if (vc[i].c == a) ia = i;
+            }
+            if (ib < vc.size()) {
+                if (ia < vc.size()) {
+                    vc[ia].w = total;
+                    vc[ib] = vc.back();
+                    vc.pop_back();
+                } else {
+                    vc[ib].c = a;
+                    vc[ib].w = total;
+                }
+            }
         }
         adj[b].clear();
-        // refresh heap entries for a's neighborhood
-        for (auto& kv : adj[a]) {
-            int32_t c = find(kv.first);
-            if (c != a) push(a, c, kv.second);
-        }
+        adj[b].shrink_to_fit();
+        if (with_heap)
+            for (auto& kv : adj[a]) {
+                int32_t c = find(kv.c);
+                if (c != a) push(a, c, kv.w);
+            }
         return a;
     }
 };
@@ -128,17 +187,23 @@ extern "C" int64_t spt_greedy_cut(
         for (int64_t k = 0; k < d; ++k)
             s.mu[(size_t)i * d + k] = f[(size_t)i * d + k];
     }
-    // accumulate (trimmed) edge weights into adjacency maps
+    // accumulate (trimmed) edge weights into adjacency lists
     for (int64_t e = 0; e < m; ++e) {
         int32_t u = src[e], v = dst[e];
         if (u == v) continue;
         double w = ew ? ew[e] : 1.0;
-        s.adj[u][v] += w;
-        s.adj[v][u] += w;
+        double* wu = s.find_w(u, v);
+        if (wu) {
+            *wu += w;
+            *s.find_w(v, u) += w;
+        } else {
+            s.adj[u].push_back({v, w});
+            s.adj[v].push_back({u, w});
+        }
     }
     for (int64_t i = 0; i < n; ++i)
         for (auto& kv : s.adj[i])
-            if (kv.first > i) s.push((int32_t)i, kv.first, kv.second);
+            if (kv.c > i) s.push((int32_t)i, kv.c, kv.w);
 
     // Phase 1: merge while the energy decreases
     while (!s.heap.empty()) {
@@ -148,9 +213,9 @@ extern "C" int64_t spt_greedy_cut(
         int32_t a = s.find(it.a), b = s.find(it.b);
         if (a == b) continue;
         if (s.version[it.a] + s.version[it.b] != it.stamp) continue;
-        auto jt = s.adj[a].find(b);
-        if (jt == s.adj[a].end()) continue;
-        double g = s.gain(a, b, jt->second);
+        double* w = s.find_w(a, b);
+        if (!w) continue;
+        double g = s.gain(a, b, *w);
         if (g <= 0) continue;
         s.merge(a, b);
     }
@@ -167,16 +232,16 @@ extern "C" int64_t spt_greedy_cut(
                 int32_t best = -1;
                 double best_g = -1e300;
                 for (auto& kv : s.adj[a]) {
-                    int32_t c = s.find(kv.first);
+                    int32_t c = s.find(kv.c);
                     if (c == a) continue;
-                    double g = s.gain(a, c, kv.second);
+                    double g = s.gain(a, c, kv.w);
                     if (g > best_g) {
                         best_g = g;
                         best = c;
                     }
                 }
                 if (best >= 0) {
-                    s.merge(a, best);
+                    s.merge(a, best, /*with_heap=*/false);
                     changed = true;
                 }
             }
