@@ -117,38 +117,33 @@ def to_trimmed_np(edge_index, edge_attr=None, reduce='mean'):
     s, t = s[keep], t[keep]
     if edge_attr is not None:
         edge_attr = edge_attr[keep]
-    # unique by (s, t)
+    # single sort of the fused (s, t) key; duplicate groups are then
+    # contiguous runs reduced with np.*.reduceat (one C pass, no
+    # scatter)
     key = s.astype(np.int64) * (int(max(t.max(), s.max())) + 1 if s.size
                                 else 1) + t.astype(np.int64)
-    uniq, inv = np.unique(key, return_inverse=True)
-    n = uniq.shape[0]
-    first = np.zeros(n, dtype=np.int64)
-    # first occurrence index for s/t reconstruction
-    order = np.argsort(inv, kind='stable')
-    starts = np.searchsorted(inv[order], np.arange(n))
+    order = np.argsort(key, kind='stable')
+    ks = key[order]
+    head = np.ones(ks.shape[0], dtype=bool)
+    head[1:] = ks[1:] != ks[:-1]
+    starts = np.flatnonzero(head)
     first = order[starts]
     out_ei = np.stack([s[first], t[first]])
     if edge_attr is None:
         return out_ei, None
+    ea_sorted = edge_attr[order]
     if reduce == 'mean':
-        acc = np.zeros((n, edge_attr.shape[1]), dtype=np.float64)
-        np.add.at(acc, inv, edge_attr)
-        cnt = np.bincount(inv, minlength=n).astype(np.float64)
+        acc = np.add.reduceat(ea_sorted.astype(np.float64), starts,
+                              axis=0)
+        cnt = np.diff(np.append(starts, ks.shape[0])).astype(np.float64)
         out_ea = (acc / cnt[:, None]).astype(edge_attr.dtype)
     elif reduce == 'sum':
-        acc = np.zeros((n, edge_attr.shape[1]), dtype=edge_attr.dtype)
-        np.add.at(acc, inv, edge_attr)
-        out_ea = acc
-    elif reduce in ('max', 'min'):
-        op = np.maximum if reduce == 'max' else np.minimum
-        init = -np.inf if reduce == 'max' else np.inf
-        acc = np.full((n, edge_attr.shape[1]), init, dtype=np.float64)
-        getattr(np, f'{op.__name__}'.replace('imum', 'imum'))  # noop
-        if reduce == 'max':
-            np.maximum.at(acc, inv, edge_attr)
-        else:
-            np.minimum.at(acc, inv, edge_attr)
-        out_ea = acc.astype(edge_attr.dtype)
+        out_ea = np.add.reduceat(ea_sorted, starts,
+                                 axis=0).astype(edge_attr.dtype)
+    elif reduce == 'max':
+        out_ea = np.maximum.reduceat(ea_sorted, starts, axis=0)
+    elif reduce == 'min':
+        out_ea = np.minimum.reduceat(ea_sorted, starts, axis=0)
     else:
         raise ValueError(f"Unknown reduce={reduce}")
     return out_ei, out_ea
