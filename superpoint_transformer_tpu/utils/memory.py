@@ -5,7 +5,7 @@ import gc
 import traceback
 
 __all__ = ['is_oom_error', 'garbage_collection', 'task_wrapper',
-           'device_memory_stats']
+           'device_memory_stats', 'tune_host_allocator']
 
 _OOM_MARKERS = (
     'RESOURCE_EXHAUSTED',            # XLA/TPU OOM
@@ -63,3 +63,41 @@ def task_wrapper(fn):
                 garbage_collection()
             raise
     return wrapped
+
+
+_MALLOC_TUNED = False
+
+
+def tune_host_allocator():
+    """Keep freed large allocations in the process heap instead of
+    returning them to the OS (glibc mallopt: mmap_max=0, trim=never).
+
+    The host preprocessing / batch-prep path allocates and frees many
+    multi-MB numpy temporaries per cloud; with glibc's default
+    mmap-threshold behavior every one of them is a fresh mmap whose
+    pages are faulted in on first touch and munmap'd on free. Under
+    virtualized hosts (and TPU-VM workers) those faults dominate: a
+    17 MB `astype` measures 1.4-1.8 s cold vs 9 ms warm. Reusing heap
+    pages makes allocation costs O(size) instead of O(page faults).
+
+    Idempotent; no-op on non-glibc platforms or when
+    SPT_NO_MALLOC_TUNING is set. The trade-off (the process keeps its
+    high-water-mark memory) is the right default for preprocessing
+    workers and training hosts with bounded working sets.
+    """
+    global _MALLOC_TUNED
+    import os
+    if _MALLOC_TUNED or os.environ.get('SPT_NO_MALLOC_TUNING'):
+        return False
+    try:
+        import ctypes
+        libc = ctypes.CDLL('libc.so.6', use_errno=True)
+        # glibc malloc.h: M_TRIM_THRESHOLD=-1, M_MMAP_THRESHOLD=-3,
+        # M_MMAP_MAX=-4
+        libc.mallopt(-3, 1 << 30)
+        libc.mallopt(-1, -1)
+        libc.mallopt(-4, 0)
+        _MALLOC_TUNED = True
+        return True
+    except Exception:
+        return False
