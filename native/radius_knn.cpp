@@ -30,29 +30,6 @@
 #include <omp.h>
 #endif
 
-namespace {
-struct Heap {
-    // max-heap of (d2, idx) capped at k
-    std::vector<std::pair<float, int32_t>> v;
-    size_t k;
-    explicit Heap(size_t k_) : k(k_) { v.reserve(k_ + 1); }
-    float worst() const {
-        return v.size() < k ? std::numeric_limits<float>::infinity()
-                            : v.front().first;
-    }
-    void push(float d2, int32_t i) {
-        if (v.size() < k) {
-            v.emplace_back(d2, i);
-            std::push_heap(v.begin(), v.end());
-        } else if (d2 < v.front().first) {
-            std::pop_heap(v.begin(), v.end());
-            v.back() = {d2, i};
-            std::push_heap(v.begin(), v.end());
-        }
-    }
-};
-}  // namespace
-
 extern "C" void spt_radius_knn(
     int64_t n_search, const float* xyz_search,
     int64_t n_query, const float* xyz_query,
@@ -150,6 +127,9 @@ extern "C" void spt_radius_knn(
     };
 
     // ---- CSR grid via counting sort -----------------------------------
+    // Points are REORDERED into cell-contiguous SoA coordinate arrays:
+    // a cell's candidates are then three contiguous float runs — the
+    // distance loop auto-vectorizes with zero gathers.
     std::vector<int64_t> cid(n_search);
     std::vector<int32_t> ptr(ncells + 1, 0);
     for (int64_t i = 0; i < n_search; ++i) {
@@ -160,10 +140,16 @@ extern "C" void spt_radius_knn(
     }
     for (int64_t c = 0; c < ncells; ++c) ptr[c + 1] += ptr[c];
     std::vector<int32_t> pts(n_search);
+    std::vector<float> xs(n_search), ys(n_search), zs(n_search);
     {
         std::vector<int32_t> cur(ptr.begin(), ptr.end() - 1);
-        for (int64_t i = 0; i < n_search; ++i)
-            pts[cur[cid[i]]++] = (int32_t)i;
+        for (int64_t i = 0; i < n_search; ++i) {
+            const int32_t t = cur[cid[i]]++;
+            pts[t] = (int32_t)i;
+            xs[t] = xyz_search[i * 3];
+            ys[t] = xyz_search[i * 3 + 1];
+            zs[t] = xyz_search[i * 3 + 2];
+        }
     }
 
     const float r2 = std::isfinite(r) ? (float)(r * r) : INF;
@@ -193,7 +179,19 @@ extern "C" void spt_radius_knn(
     // OMP_NUM_THREADS=1 in per-cloud worker processes avoids
     // oversubscription (datasets/base.py:_preprocess_worker_init).
 #ifdef _OPENMP
-#pragma omp parallel for schedule(dynamic, 256)
+#pragma omp parallel
+#endif
+    {
+        // per-thread candidate buffers: (d2, slot) pairs collected
+        // ring by ring, then one nth_element — no per-candidate heap
+        std::vector<float> dbuf;
+        std::vector<int32_t> tbuf;
+        std::vector<std::pair<float, int32_t>> cand;
+        dbuf.reserve(4096);
+        tbuf.reserve(4096);
+        cand.reserve(4096);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 256)
 #endif
     for (int64_t qi = 0; qi < n_query; ++qi) {
         const int64_t q = qorder[qi];
@@ -201,7 +199,8 @@ extern "C" void spt_radius_knn(
                     qz = xyz_query[q * 3 + 2];
         int64_t c[3];
         cell_of(xyz_query + q * 3, c);
-        Heap heap((size_t)k);
+        dbuf.clear();
+        tbuf.clear();
 
         // populated-box bounds relative to the query cell
         const int64_t blo[3] = {-c[0], -c[1], -c[2]};
@@ -218,24 +217,35 @@ extern "C" void spt_radius_knn(
         auto visit = [&](int64_t dx, int64_t dy, int64_t dz) {
             const int64_t cc = qbase + dx * sx + dy * sy + dz;
             const int32_t b = ptr[cc], e = ptr[cc + 1];
+            if (b == e) return;
+            const size_t off = dbuf.size();
+            dbuf.resize(off + (size_t)(e - b));
+            tbuf.resize(off + (size_t)(e - b));
+            float* __restrict dd = dbuf.data() + off;
+            int32_t* __restrict tt = tbuf.data() + off;
+            const float* __restrict px = xs.data();
+            const float* __restrict py = ys.data();
+            const float* __restrict pz = zs.data();
+            // contiguous SoA run: auto-vectorizes, no gathers
             for (int32_t t = b; t < e; ++t) {
-                const int32_t i = pts[t];
-                if (exclude_self && (int64_t)i == q) continue;
-                const float ddx = xyz_search[i * 3] - qx;
-                const float ddy = xyz_search[i * 3 + 1] - qy;
-                const float ddz = xyz_search[i * 3 + 2] - qz;
-                const float d2 = ddx * ddx + ddy * ddy + ddz * ddz;
-                if (d2 <= r2) heap.push(d2, i);
+                const float ddx = px[t] - qx;
+                const float ddy = py[t] - qy;
+                const float ddz = pz[t] - qz;
+                dd[t - b] = ddx * ddx + ddy * ddy + ddz * ddz;
+                tt[t - b] = t;
             }
         };
 
         for (int64_t ring = 0; ring <= ring_end; ++ring) {
-            // stop when the k-th best is closer than the nearest
-            // possible point in this shell
             if (ring > 0) {
-                const float shell_min = (float)(ring - 1) * cellf;
-                if (shell_min * shell_min > heap.worst()) break;
-                if (shell_min * shell_min > r2) break;
+                // points in shell `ring` lie at d >= (ring-1)*cell;
+                // stop once k candidates are provably closer
+                const float bound = (float)(ring - 1) * cellf;
+                const float bound2 = std::min(bound * bound, r2);
+                int64_t closer = 0;
+                for (float d2 : dbuf) closer += (d2 < bound2);
+                if (closer >= k + (exclude_self ? 1 : 0)) break;
+                if (bound * bound > r2) break;
             }
             // iterate the Chebyshev shell |max(dx,dy,dz)| == ring,
             // clipped to the populated box
@@ -260,17 +270,35 @@ extern "C" void spt_radius_knn(
                     }
                 }
         }
-        // heap -> ascending output
-        std::sort(heap.v.begin(), heap.v.end());
-        const int64_t kk = (int64_t)heap.v.size();
+
+        // drop self / out-of-radius candidates in place
+        size_t m = 0;
+        for (size_t j = 0; j < dbuf.size(); ++j) {
+            const int32_t i = pts[tbuf[j]];
+            if (dbuf[j] > r2) continue;
+            if (exclude_self && (int64_t)i == q) continue;
+            dbuf[m] = dbuf[j];
+            tbuf[m] = i;  // tbuf now holds ORIGINAL ids
+            ++m;
+        }
+        const int64_t kk = std::min<int64_t>((int64_t)m, k);
+        // k smallest, ascending
+        cand.resize(m);
+        for (size_t j = 0; j < m; ++j)
+            cand[j] = {dbuf[j], tbuf[j]};
+        if ((int64_t)m > kk)
+            std::nth_element(cand.begin(), cand.begin() + kk,
+                             cand.end());
+        std::sort(cand.begin(), cand.begin() + kk);
         for (int64_t j = 0; j < k; ++j) {
             if (j < kk) {
-                nbr_out[q * k + j] = heap.v[j].second;
-                dist_out[q * k + j] = std::sqrt(heap.v[j].first);
+                nbr_out[q * k + j] = cand[j].second;
+                dist_out[q * k + j] = std::sqrt(cand[j].first);
             } else {
                 nbr_out[q * k + j] = -1;
                 dist_out[q * k + j] = INF;
             }
         }
     }
+    }  // omp parallel
 }
