@@ -79,15 +79,29 @@ struct Solver {
         return reg * W - fidelity(a, b);
     }
 
-    void push(int32_t a, int32_t b, double W) {
-        // Non-positive pairs never merge and only bloat the heap; any
-        // later merge touching a or b re-evaluates the pair, so
-        // skipping them preserves the exact greedy order (the heap
-        // invariant "top >= max current gain" only concerns positive
-        // gains, which all keep a fresh-or-better entry).
-        double g = gain(a, b, W);
-        if (g > 0)
-            heap.push({g, a, b, version[a] + version[b]});
+    // Lazy best-merge heap: ONE entry per live component — its best
+    // current neighbor. Correctness of the greedy order: a pair's
+    // gain changes only when one endpoint merges, and every merge
+    // survivor re-pushes its best, so the global-max pair (which is
+    // by definition also each endpoint's best) always has a
+    // current-stamp entry. Stale entries (endpoint died or version
+    // moved) are dropped or lazily refreshed on pop. This cuts heap
+    // traffic from O(deg) pushes per merge to O(1).
+    void push_best(int32_t a) {
+        double best_g = 0;
+        int32_t best_b = -1;
+        for (auto& kv : adj[a]) {
+            int32_t c = find(kv.c);
+            if (c == a) continue;
+            double g = gain(a, c, kv.w);
+            if (g > best_g) {
+                best_g = g;
+                best_b = c;
+            }
+        }
+        if (best_b >= 0)
+            heap.push({best_g, a, best_b,
+                       version[a] + version[best_b]});
     }
 
     double* find_w(int32_t a, int32_t b) {
@@ -106,10 +120,9 @@ struct Solver {
             }
     }
 
-    // merge component b into a (a keeps the larger adjacency).
-    // `with_heap=false` skips the neighborhood refresh (phase 2 never
-    // reads the heap, so those pushes are pure waste).
-    int32_t merge(int32_t a, int32_t b, bool with_heap = true) {
+    // merge component b into a (a keeps the larger adjacency);
+    // callers that keep using the heap push_best() the survivor
+    int32_t merge(int32_t a, int32_t b) {
         if (adj[a].size() < adj[b].size()) std::swap(a, b);
         parent[b] = a;
         double sa = S[a], sb = S[b], s = sa + sb;
@@ -154,11 +167,6 @@ struct Solver {
         }
         adj[b].clear();
         adj[b].shrink_to_fit();
-        if (with_heap)
-            for (auto& kv : adj[a]) {
-                int32_t c = find(kv.c);
-                if (c != a) push(a, c, kv.w);
-            }
         return a;
     }
 };
@@ -202,22 +210,23 @@ extern "C" int64_t spt_greedy_cut(
         }
     }
     for (int64_t i = 0; i < n; ++i)
-        for (auto& kv : s.adj[i])
-            if (kv.c > i) s.push((int32_t)i, kv.c, kv.w);
+        s.push_best((int32_t)i);
 
     // Phase 1: merge while the energy decreases
     while (!s.heap.empty()) {
         HeapItem it = s.heap.top();
         s.heap.pop();
         if (it.gain <= 0) break;
-        int32_t a = s.find(it.a), b = s.find(it.b);
-        if (a == b) continue;
-        if (s.version[it.a] + s.version[it.b] != it.stamp) continue;
-        double* w = s.find_w(a, b);
-        if (!w) continue;
-        double g = s.gain(a, b, *w);
-        if (g <= 0) continue;
-        s.merge(a, b);
+        if (s.find(it.a) != it.a) continue;   // component died
+        if (s.find(it.b) != it.b
+            || s.version[it.a] + s.version[it.b] != it.stamp) {
+            s.push_best(it.a);                // stale: refresh a's best
+            continue;
+        }
+        // fresh entry: neither endpoint merged since push, so the
+        // stored gain and the (a, b) cut weight are current
+        int32_t r = s.merge(it.a, it.b);
+        s.push_best(r);
     }
 
     // Phase 2: enforce min component weight (reference min_comp_weight)
@@ -241,7 +250,7 @@ extern "C" int64_t spt_greedy_cut(
                     }
                 }
                 if (best >= 0) {
-                    s.merge(a, best, /*with_heap=*/false);
+                    s.merge(a, best);
                     changed = true;
                 }
             }
