@@ -14,7 +14,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.segment import (
-    segment_sum, segment_count, segment_max, segment_min)
+    segment_sum, segment_count, segment_max, segment_min,
+    gather_rows_small)
 
 __all__ = ['GraphNorm', 'LayerNorm', 'InstanceNorm', 'GroupNorm',
            'BatchNorm', 'UnitSphereNorm', 'INDEX_BASED_NORMS']
@@ -73,8 +74,13 @@ class GraphNorm(nn.Module):
         # clamp: the E[x^2] identity can go slightly negative in fp32
         var = jnp.maximum(ex2 - 2 * am * mean + am * am, 0.0)
         inv = 1.0 / jnp.sqrt(var + self.eps)
-        out = (x.astype(jnp.float32) - am[batch]) * inv[batch] \
-            * weight + bias
+        # broadcast per-graph scale/shift via one-hot matmuls: a plain
+        # am[batch] gather backpropagates as a serial TPU scatter-add
+        # over all N rows (the dominant train-step cost before this);
+        # the matmul form keeps both directions on the MXU
+        sc = gather_rows_small(inv * weight, batch, g)
+        sh = gather_rows_small(bias - am * inv * weight, batch, g)
+        out = x.astype(jnp.float32) * sc + sh
         return out.astype(in_dtype)
 
 
@@ -104,14 +110,18 @@ class LayerNorm(nn.Module):
                   self.shard_axis).astype(x.dtype) * C
         n = jnp.maximum(n, 1)
         xm, _ = _masked(x, mask)
-        mean = _psum(segment_sum(xm, batch, g),
-                     self.shard_axis).sum(-1) / n
-        out = x - mean[batch][:, None]
-        outm, _ = _masked(out, mask)
-        var = _psum(segment_sum(outm * outm, batch, g),
-                    self.shard_axis).sum(-1) / n
-        out = out / jnp.sqrt(var[batch][:, None] + self.eps)
-        return out * weight + bias
+        # single pass over concat(x, x^2) + E[x^2] identity; per-graph
+        # scale/shift broadcast as one-hot matmuls (scatter-free vjp)
+        s12 = _psum(segment_sum(
+            jnp.concatenate([xm, xm * xm], axis=1), batch, g,
+            acc_dtype=jnp.float32), self.shard_axis)
+        mean = s12[:, :C].sum(-1) / n
+        ex2 = s12[:, C:].sum(-1) / n
+        var = jnp.maximum(ex2 - mean * mean, 0.0)
+        inv = 1.0 / jnp.sqrt(var + self.eps)
+        sc = gather_rows_small(inv[:, None], batch, g)
+        sh = gather_rows_small((-mean * inv)[:, None], batch, g)
+        return (x * sc + sh) * weight + bias
 
 
 class InstanceNorm(nn.Module):
@@ -130,18 +140,18 @@ class InstanceNorm(nn.Module):
             batch = jnp.zeros(x.shape[0], dtype=jnp.int32)
         g = self.num_graphs
 
-        def gmean(v):
-            vm, _ = _masked(v, mask)
-            s = _psum(segment_sum(vm, batch, g), self.shard_axis)
-            n = _psum(segment_count(batch, g, mask=mask),
-                      self.shard_axis)
-            return s / jnp.maximum(n, 1).astype(v.dtype)[:, None]
-
-        mean = gmean(x)
-        out = x - mean[batch]
-        var = gmean(out * out)
-        out = out / jnp.sqrt(var[batch] + self.eps)
-        return out * weight + bias
+        xm, _ = _masked(x, mask)
+        s12 = _psum(segment_sum(
+            jnp.concatenate([xm, xm * xm], axis=1), batch, g,
+            acc_dtype=jnp.float32), self.shard_axis)
+        n = _psum(segment_count(batch, g, mask=mask), self.shard_axis)
+        n = jnp.maximum(n, 1).astype(jnp.float32)[:, None]
+        mean = s12[:, :C] / n
+        var = jnp.maximum(s12[:, C:] / n - mean * mean, 0.0)
+        inv = 1.0 / jnp.sqrt(var + self.eps)
+        sc = gather_rows_small(inv * weight, batch, g)
+        sh = gather_rows_small(bias - mean * inv * weight, batch, g)
+        return x.astype(jnp.float32) * sc + sh
 
 
 class GroupNorm(nn.Module):
@@ -167,13 +177,13 @@ class GroupNorm(nn.Module):
                    if mask is not None else 1)
         mean = segment_sum(xm, batch, self.num_graphs).sum(
             -1, keepdims=True) / norm[:, None, None]
-        out = xg - mean[batch]
-        outm = out * (mask[:, None, None].astype(x.dtype)
-                      if mask is not None else 1)
-        var = segment_sum(outm * outm, batch, self.num_graphs).sum(
-            -1, keepdims=True) / norm[:, None, None]
-        out = out / jnp.sqrt(var[batch] + self.eps)
-        out = out.reshape(-1, C)
+        var = segment_sum(xm * xm, batch, self.num_graphs).sum(
+            -1, keepdims=True) / norm[:, None, None] - mean * mean
+        var = jnp.maximum(var, 0.0)
+        inv = 1.0 / jnp.sqrt(var + self.eps)
+        sc = gather_rows_small(inv, batch, self.num_graphs)
+        sh = gather_rows_small(-mean * inv, batch, self.num_graphs)
+        out = (xg * sc + sh).reshape(-1, C)
         return out * weight + bias
 
 
