@@ -114,8 +114,9 @@ def _dominant_hist_loss(logits, y_hist, class_weight, mask,
     (reference model_step 'wce' branch: y_hist_dominant)."""
     y_dom = jnp.argmax(y_hist, axis=1)
     mass = y_hist.sum(axis=1)
-    dom_hist = jnp.zeros_like(y_hist).at[
-        jnp.arange(y_hist.shape[0]), y_dom].set(mass)
+    # one-hot compare instead of a row scatter (serial on TPU)
+    dom_hist = (jnp.arange(y_hist.shape[1], dtype=y_dom.dtype)[None, :]
+                == y_dom[:, None]).astype(y_hist.dtype) * mass[:, None]
     return ce_with_histogram(
         logits, dom_hist, class_weight=class_weight, node_mask=mask,
         axis_name=axis_name)

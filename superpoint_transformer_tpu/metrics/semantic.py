@@ -27,7 +27,12 @@ def confusion_matrix_from_histogram(pred, y_hist, num_classes,
         y = y * node_mask[:, None].astype(y.dtype)
     if pred.ndim == 2:
         pred = jnp.argmax(pred, axis=1)
-    cm = jax.ops.segment_sum(y, pred, num_segments=num_classes)
+    # one-hot MXU contraction (13 segments) instead of a serial
+    # scatter; 'highest' precision keeps histogram counts exact (the
+    # TPU default rounds matmul inputs to bf16)
+    from ..ops.segment import _onehot_segment_sum
+    cm = _onehot_segment_sum(y, pred, num_classes,
+                             precision='highest')
     # int32: x64 is disabled; counts stay well within range per batch
     return cm.T.astype(jnp.int32)
 
@@ -39,11 +44,18 @@ def confusion_matrix_update(pred, y, num_classes, node_mask=None):
     valid = (y >= 0) & (y < num_classes)
     if node_mask is not None:
         valid = valid & node_mask
-    idx = jnp.where(valid, y * num_classes + pred, num_classes ** 2)
-    flat = jax.ops.segment_sum(
-        jnp.ones_like(idx, dtype=jnp.int64), idx,
-        num_segments=num_classes ** 2 + 1)
-    return flat[:-1].reshape(num_classes, num_classes)
+    # cm[t, p] = #(y==t & pred==p) = one_hot(y)^T @ one_hot(pred):
+    # one MXU contraction, exact in f32 below 2^24 rows per batch,
+    # instead of a serial 169-bin TPU scatter
+    cls = jnp.arange(num_classes, dtype=y.dtype)
+    oh_y = ((y[:, None] == cls[None, :]) & valid[:, None]).astype(
+        jnp.float32)
+    oh_p = (pred[:, None] == cls[None, :].astype(pred.dtype)).astype(
+        jnp.float32)
+    cm = jnp.einsum('nt,np->tp', oh_y, oh_p,
+                    preferred_element_type=jnp.float32,
+                    precision='highest')
+    return cm.astype(jnp.int32)
 
 
 def iou_from_confmat(cm):

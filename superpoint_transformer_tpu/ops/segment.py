@@ -25,7 +25,12 @@ __all__ = [
 _ONEHOT_MAX_SEGMENTS = 128
 
 
-def _onehot_segment_sum(x, idx, num_segments, acc_dtype=None):
+def _onehot_segment_sum(x, idx, num_segments, acc_dtype=None,
+                        precision=None):
+    """`precision='highest'` forces exact f32 matmul passes — needed
+    when the summed values are COUNTS (confusion matrices): TPU's
+    default f32 matmul precision rounds inputs to bf16, corrupting
+    values past 2^8. Statistics callers keep the fast default."""
     out_dtype = acc_dtype or x.dtype
     oh = (idx[:, None] == jnp.arange(num_segments, dtype=idx.dtype)
           [None, :])
@@ -33,11 +38,13 @@ def _onehot_segment_sum(x, idx, num_segments, acc_dtype=None):
     # keep f32-exact statistics without materializing f32 copies)
     if x.ndim == 1:
         out = jnp.einsum('ng,n->g', oh.astype(x.dtype), x,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=precision)
         return out.astype(out_dtype)
     flat = x.reshape(x.shape[0], -1)
     out = jnp.einsum('ng,nc->gc', oh.astype(x.dtype), flat,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=precision)
     return out.reshape((num_segments,) + x.shape[1:]).astype(out_dtype)
 
 
