@@ -80,11 +80,14 @@ def _bench_preprocessing():
     n = PREPROC_N
     preprocess_cloud(synthetic_room_cloud(seed=0, n_points=n),
                      voxel=0.05, rng=np.random.default_rng(0))
-    data = synthetic_room_cloud(seed=0, n_points=n)
-    t0 = time.perf_counter()
-    preprocess_cloud(data, voxel=0.05, rng=np.random.default_rng(0))
-    dt = time.perf_counter() - t0
-    return dt * (1e6 / n)
+    best = float('inf')
+    for _ in range(2):  # min-of-2: allocator pools settle per shape
+        data = synthetic_room_cloud(seed=0, n_points=n)
+        t0 = time.perf_counter()
+        preprocess_cloud(data, voxel=0.05,
+                         rng=np.random.default_rng(0))
+        best = min(best, time.perf_counter() - t0)
+    return best * (1e6 / n)
 
 
 def main():
