@@ -149,6 +149,22 @@ class SelfAttentionBlock(nn.Module):
             def gather(table):
                 return table[nbr_idx]
 
+        # TPU row-gathers run at full HBM bandwidth only near 256-byte
+        # rows (measured: bf16 [5120,48,64] 128B rows = 418 us, the
+        # same data as one 256B-row gather = 72 us; 512B rows slow
+        # again). When k and v rows jointly fit 256B (the bf16
+        # flagship: 64+64 ch), gather them as ONE slice of the qkv
+        # output — also halves the backward's transpose-table gathers.
+        itemsize = 2 if dt == jnp.bfloat16 else 4
+        fuse_kv_gather = (DH + C) * itemsize <= 256
+
+        def gather_kv(k_tab, v_tab, joint):
+            if fuse_kv_gather:
+                kvg = gather(joint if joint is not None
+                             else jnp.concatenate([k_tab, v_tab], 1))
+                return kvg[..., :DH], kvg[..., DH:]
+            return gather(k_tab), gather(v_tab)
+
         attn_dropping = (train and self.attn_drop is not None
                          and self.attn_drop > 0)
         pallas_ok = (_PALLAS_ENABLED and self.use_pallas
@@ -183,8 +199,9 @@ class SelfAttentionBlock(nn.Module):
                 enc(dummy)
                 encs[nm] = (enc.variables['params']['kernel'],
                             enc.variables['params']['bias'])
-            kg = gather(k_nodes)                    # [N, K, DH]
-            vg = gather(v_nodes)                    # [N, K, C]
+            kg, vg = gather_kv(
+                k_nodes, v_nodes,
+                qkv[:, DH:] if self.shard_axis is None else None)
             degree = nbr_mask.sum(axis=1)
             scale = qk_scale_from_degree(self.qk_scale, D, degree)
             fn = dense_attention_rpe_trainable if train \
@@ -204,8 +221,11 @@ class SelfAttentionBlock(nn.Module):
             return out
 
         # Gather keys/values of the neighbors: [N, K, ...]
-        k = gather(k_nodes).reshape(N, K, H, D)
-        v = gather(v_nodes).reshape(N, K, H, C // H)
+        kg, vg = gather_kv(
+            k_nodes, v_nodes,
+            qkv[:, DH:] if self.shard_axis is None else None)
+        k = kg.reshape(N, K, H, D)
+        v = vg.reshape(N, K, H, C // H)
 
         rpe_dim = D if self.heads_share_rpe else DH
 
