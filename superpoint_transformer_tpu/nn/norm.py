@@ -248,16 +248,21 @@ def unit_sphere_norm(pos, super_index, num_super, node_size=None,
     """
     big = jnp.asarray(jnp.finfo(pos.dtype).max, pos.dtype)
     p = pos
+    # TPU segment reduces are serial in ROWS (cost is independent of
+    # the channel count) -> fold min into the max pass over
+    # concat(pos, -pos), and both weighted sums into one pass over
+    # concat(pos*w, w): 4 segment ops become 2.
     if mask is not None:
         # exile padded rows so they never win min/max
         p_for_min = jnp.where(mask[:, None], pos, big)
         p_for_max = jnp.where(mask[:, None], pos, -big)
     else:
         p_for_min = p_for_max = pos
-    mn = segment_min(p_for_min, super_index, num_super,
-                     indices_are_sorted=indices_are_sorted)
-    mx = segment_max(p_for_max, super_index, num_super,
-                     indices_are_sorted=indices_are_sorted)
+    mxmn = segment_max(
+        jnp.concatenate([p_for_max, -p_for_min], axis=1),
+        super_index, num_super,
+        indices_are_sorted=indices_are_sorted)
+    mx, mn = mxmn[:, :3], -mxmn[:, 3:]
     if shard_axis is not None:
         # graph-level segments span node shards (parallel/shard_nag.py)
         import jax
@@ -268,25 +273,18 @@ def unit_sphere_norm(pos, super_index, num_super, node_size=None,
     diameter = jnp.where(valid_seg, (mx - mn).max(axis=1), 0.0)
 
     if node_size is None:
-        pm, _ = _masked(pos, mask)
-        ssum = segment_sum(pm, super_index, num_super,
-                           indices_are_sorted=indices_are_sorted)
-        cnt = segment_count(super_index, num_super, mask=mask,
-                            indices_are_sorted=indices_are_sorted)
-        ssum = _psum(ssum, shard_axis)
-        cnt = _psum(cnt, shard_axis)
-        center = ssum / jnp.maximum(cnt, 1).astype(pos.dtype)[:, None]
+        w = jnp.ones(pos.shape[0], pos.dtype)
     else:
         w = node_size
-        if mask is not None:
-            w = w * mask.astype(w.dtype)
-        wsum = segment_sum(pos * w[:, None], super_index, num_super,
-                           indices_are_sorted=indices_are_sorted)
-        wtot = segment_sum(w, super_index, num_super,
-                           indices_are_sorted=indices_are_sorted)
-        wsum = _psum(wsum, shard_axis)
-        wtot = _psum(wtot, shard_axis)
-        center = wsum / jnp.maximum(wtot, 1e-12)[:, None]
+    if mask is not None:
+        w = w * mask.astype(w.dtype)
+    sums = segment_sum(
+        jnp.concatenate([pos * w[:, None], w[:, None]], axis=1),
+        super_index, num_super,
+        indices_are_sorted=indices_are_sorted)
+    sums = _psum(sums, shard_axis)
+    wsum, wtot = sums[:, :3], sums[:, 3]
+    center = wsum / jnp.maximum(wtot, 1e-12)[:, None]
     si = jnp.clip(super_index, 0, num_super - 1)
     out = (pos - center[si]) / (diameter[si][:, None] + 1e-2)
     d = diameter[:, None]
