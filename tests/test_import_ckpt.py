@@ -1,0 +1,112 @@
+"""Reference-checkpoint import: name mapping, transposition, full
+coverage for the flagship architecture."""
+import os
+import sys
+
+import numpy as np
+import jax
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from superpoint_transformer_tpu.utils.import_ckpt import (
+    import_reference_checkpoint, reference_key_for)
+
+
+def test_literal_key_examples():
+    """Pin the naming convention against the reference source
+    (src/models/components/spt.py:462-523, src/nn/stage.py:132,
+    src/nn/transformer.py:159-192, src/nn/mlp.py:40-57,135)."""
+    cases = [
+        (('net', 'first_stage', 'in_mlp', 'linear_0', 'kernel'),
+         'net.first_stage.in_mlp.mlp.0.weight'),
+        (('net', 'first_stage', 'in_mlp', 'norm_2', 'mean_scale'),
+         'net.first_stage.in_mlp.mlp.7.mean_scale'),
+        (('net', 'down_stage_0', 'block_2', 'sa', 'qkv', 'kernel'),
+         'net.down_stages.0.transformer_blocks.2.sa.qkv.weight'),
+        (('net', 'down_stage_1', 'block_0', 'sa', 'k_rpe', 'bias'),
+         'net.down_stages.1.transformer_blocks.0.sa.k_rpe.bias'),
+        (('net', 'up_stage_0', 'block_0', 'sa_norm', 'weight'),
+         'net.up_stages.0.transformer_blocks.0.sa_norm.weight'),
+        (('net', 'up_stage_0', 'block_0', 'sa', 'out_proj', 'kernel'),
+         'net.up_stages.0.transformer_blocks.0.sa.out_proj.weight'),
+        (('net', 'h_edge_mlp_1', 'linear_1', 'kernel'),
+         'net.h_edge_mlps.1.mlp.3.weight'),
+        (('net', 'h_edge_mlp_0', 'norm_0', 'bias'),
+         'net.h_edge_mlps.0.mlp.1.bias'),
+        (('head_0', 'classifier', 'kernel'),
+         'head.0.classifier.weight'),
+        (('head_2', 'classifier', 'bias'), 'head.2.classifier.bias'),
+    ]
+    for path, expect in cases:
+        assert reference_key_for(path) == expect, (path, expect)
+
+
+@pytest.fixture(scope='module')
+def flagship():
+    from superpoint_transformer_tpu.models.semantic import (
+        SemanticSegmentationModel)
+    from superpoint_transformer_tpu.transforms import (
+        BatchConfig, prepare_batch)
+    from superpoint_transformer_tpu.utils.synthetic import random_nag
+    from __graft_entry__ import _make_model
+
+    nag = random_nag(seed=0, n_points=512)
+    cfg = BatchConfig(sample_graph_r=-1, sample_segment_ratio=0)
+    batch = prepare_batch([nag], cfg, train=False,
+                          rng=np.random.default_rng(0), device=False)
+    model = SemanticSegmentationModel(net=_make_model(num_graphs=1),
+                                      num_classes=13)
+    variables = jax.jit(
+        lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(0), batch)
+    return jax.tree_util.tree_map(np.asarray, variables['params'])
+
+
+def _fake_reference_state_dict(params):
+    """Build an authentic-looking reference state_dict holding OUR
+    init values (reverse of the import mapping), so a round-trip
+    recovers them exactly."""
+    from superpoint_transformer_tpu.utils.import_ckpt import (
+        _tree_paths)
+    state = {}
+    for path, value in _tree_paths(params):
+        key = reference_key_for(path)
+        assert key is not None, f'unmapped param {path}'
+        v = np.asarray(value)
+        state[key] = v.T if path[-1] == 'kernel' else v
+    # typical reference extras that must be ignored
+    state['criterion.criteria.0.weight'] = np.ones(13)
+    state['train_cm.confmat'] = np.zeros((13, 13))
+    return state
+
+
+def test_roundtrip_full_coverage(flagship):
+    state = _fake_reference_state_dict(flagship)
+    zeros = jax.tree_util.tree_map(np.zeros_like, flagship)
+    new, report = import_reference_checkpoint(state, zeros,
+                                              strict=True)
+    assert not report['missing']
+    assert not report['unused_reference_keys']
+    flat_new = jax.tree_util.tree_leaves(new)
+    flat_ref = jax.tree_util.tree_leaves(flagship)
+    assert len(flat_new) == len(flat_ref)
+    for a, b in zip(flat_new, flat_ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_kernel_transposed(flagship):
+    state = _fake_reference_state_dict(flagship)
+    k = state['net.down_stages.0.transformer_blocks.0.sa.qkv.weight']
+    ours = flagship['net']['down_stage_0']['block_0']['sa']['qkv'][
+        'kernel']
+    assert k.shape == tuple(reversed(ours.shape))
+
+
+def test_shape_mismatch_raises(flagship):
+    state = _fake_reference_state_dict(flagship)
+    key = 'net.down_stages.0.transformer_blocks.0.sa.qkv.weight'
+    state[key] = state[key][:, :-1]
+    with pytest.raises(ValueError, match='shape mismatch'):
+        import_reference_checkpoint(state, flagship, strict=True)
