@@ -195,18 +195,21 @@ def main():
         lambda r, b: model.init(r, b, train=False))(
         jax.random.PRNGKey(0), eval_batch)
 
-    def _perturb(batch, c):
+    def _perturb(tree, c):
         # loop-carried chaining: makes iteration i+1 depend on i so a
         # fori_loop of forwards cannot be hoisted/CSE'd; the actual
-        # perturbation (~1e-14) vanishes in fp32 rounding
+        # perturbation (~1e-14) vanishes in fp32 rounding. Applied to
+        # the PARAMS (small) — perturbing the padded batch would add
+        # a full batch-sized elementwise pass to every iteration and
+        # overstate the forward cost
         return jax.tree_util.tree_map(
             lambda a: a + (c * 1e-12).astype(a.dtype)
-            if jnp.issubdtype(a.dtype, jnp.floating) else a, batch)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
 
     @partial(jax.jit, static_argnames='n')
     def fwd_n(v, batch, n):
         def body(i, c):
-            out = model.apply(v, _perturb(batch, c), train=False)
+            out = model.apply(_perturb(v, c), batch, train=False)
             return _leaf_sum(out) * jnp.float32(1e-6)
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 

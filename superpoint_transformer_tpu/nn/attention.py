@@ -29,11 +29,16 @@ __all__ = ['SelfAttentionBlock', 'dense_graph_attention',
 
 # global kill-switch for the fused kernel (A/B tests, debugging)
 _PALLAS_ENABLED = True
+# route RPE projections through the streaming kernel (True) or
+# materialize them in XLA and use the plain kernel (False) — A/B knob
+_FUSED_RPE_ENABLED = True
 
 
-def set_pallas_attention(flag):
-    global _PALLAS_ENABLED
+def set_pallas_attention(flag, fused_rpe=None):
+    global _PALLAS_ENABLED, _FUSED_RPE_ENABLED
     _PALLAS_ENABLED = bool(flag)
+    if fused_rpe is not None:
+        _FUSED_RPE_ENABLED = bool(fused_rpe)
 
 
 def qk_scale_from_degree(mode, qk_dim, degree):
@@ -177,7 +182,15 @@ class SelfAttentionBlock(nn.Module):
         # Fully-fused streaming path: k/q/v RPE projections happen
         # INSIDE the kernel (no [N, K, H*D] HBM materialization) —
         # covers the flagship RPE configuration exactly
-        fused_rpe = (pallas_ok and edge_feat is not None
+        # A/B-measured split (see docs/performance.md): at inference
+        # the streaming in-kernel RPE wins (no [N,K,HD] HBM
+        # materialization: 19.9 vs 21.0 ms on the 8x-demo forward);
+        # in training the plain kernel with XLA-materialized RPE wins
+        # (26.0 vs 27.2 ms/step on 4-crop batches — the backward's
+        # in-kernel per-slot RPE recompute costs more than the
+        # materialized tensors' traffic at crop shapes)
+        fused_rpe = (pallas_ok and _FUSED_RPE_ENABLED and not train
+                     and edge_feat is not None
                      and self.k_rpe and self.q_rpe and self.v_rpe
                      and not self.qk_share_rpe
                      and not self.heads_share_rpe
