@@ -25,7 +25,19 @@ class NAG:
 
     # -- level access: ABSOLUTE level indexing -------------------------
     def __getitem__(self, i):
-        return self._list[i - self.start_i_level]
+        j = i - self.start_i_level
+        if j < 0:
+            # without this guard, `nag[0]` on a partially-loaded NAG
+            # (start_i_level=1) would silently wrap to the LAST level
+            raise IndexError(
+                f'level {i} not loaded (start_i_level='
+                f'{self.start_i_level})')
+        return self._list[j]
+
+    def __iter__(self):
+        # explicit: default __getitem__-based iteration would start at
+        # absolute index 0 and mis-iterate partially-loaded NAGs
+        return iter(self._list)
 
     def __setitem__(self, i, value):
         self._list[i - self.start_i_level] = value

@@ -74,7 +74,8 @@ def prepare_batch(nag_list, cfg: BatchConfig, train=True, rng=None,
     step_multi_run_inference, src/models/semantic.py:485 accumulates
     by tta_node_id; keeping all nodes makes the id map the identity).
     """
-    rng = rng or np.random.default_rng()
+    if rng is None:
+        rng = np.random.default_rng()
     augment = train or tta
     sample = train and not tta
     processed = []
@@ -211,7 +212,8 @@ def prepare_partition_batch(nag_list, cfg: BatchConfig, train=True,
     from .preprocess import (adjacency_graph, knn_search,
                              quantize_coordinates)
 
-    rng = rng or np.random.default_rng()
+    if rng is None:
+        rng = np.random.default_rng()
     datas = []
     for nag in nag_list:
         d0 = nag[0]
