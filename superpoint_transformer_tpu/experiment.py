@@ -12,7 +12,25 @@ from .models.semantic import SemanticTask
 from .transforms.prepare import BatchConfig
 
 __all__ = ['FEAT_SIZE', 'build_model', 'build_task', 'build_datasets',
-           'build_batch_config']
+           'build_batch_config', 'precision_to_dtype']
+
+
+def precision_to_dtype(precision):
+    """Map a `trainer.precision` config value to the model's
+    `compute_dtype` (reference configs/trainer/default.yaml precision
+    knob, Lightning '16-mixed'/'bf16-mixed'/32 grammar). On TPU both
+    '16' and 'bf16' select bfloat16 (the MXU's native half type);
+    32-bit values select full float32 (compute_dtype=None)."""
+    if precision is None:
+        return None
+    p = str(precision).lower()
+    if 'bf16' in p or p in ('16', '16-mixed', '16-true'):
+        return 'bfloat16'
+    if p in ('32', '32-true', 'fp32', 'float32'):
+        return None
+    raise ValueError(
+        f"unknown trainer.precision {precision!r} "
+        "(expected one of: 32, 16, bf16, bf16-mixed, 16-mixed)")
 
 FEAT_SIZE = {
     'pos': 3, 'pos_room': 3, 'rgb': 3, 'hsv': 3, 'lab': 3,
@@ -34,8 +52,15 @@ def _dims(keys):
     return sum(FEAT_SIZE[k] for k in keys)
 
 
-def build_model(cfg: Config, num_graphs=8) -> SPT:
+def build_model(cfg: Config, num_graphs=8, compute_dtype='auto') -> SPT:
     dm, m = cfg.datamodule, cfg.model
+    if compute_dtype == 'auto':
+        # trainer.precision flows into the model compute dtype so the
+        # CLI builds the exact model the benchmarks time (bf16 matmuls
+        # with fp32 statistics — see nn/mlp.py, nn/attention.py)
+        trainer_cfg = cfg.get('trainer')
+        compute_dtype = precision_to_dtype(
+            trainer_cfg.get('precision') if trainer_cfg else None)
     net = m.net
     nano = bool(net.nano)
     use_pos = bool(net.use_pos)
@@ -127,7 +152,7 @@ def build_model(cfg: Config, num_graphs=8) -> SPT:
         use_diameter=use_diam, use_diameter_parent=use_diam_p,
         pool=str(net.pool), fusion=str(net.fusion),
         norm_mode=str(net.norm_mode), output_stage_wise=True,
-        num_graphs=num_graphs)
+        compute_dtype=compute_dtype, num_graphs=num_graphs)
 
 
 def build_task(cfg: Config, total_steps=None, class_weight=None,

@@ -12,7 +12,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+if hasattr(jax, 'shard_map'):
+    def shard_map(f, *, mesh, in_specs, out_specs, check_rep=True):
+        # jax >= 0.8 renamed check_rep -> check_vma
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=check_rep)
+else:  # jax < 0.8
+    from jax.experimental.shard_map import shard_map
 
 __all__ = ['make_data_mesh', 'stack_batches', 'shard_batch',
            'make_dp_train_step', 'make_shard_mesh',

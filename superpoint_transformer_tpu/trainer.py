@@ -130,7 +130,14 @@ class Trainer:
     output_dir: str = 'outputs'
     max_epochs: int = 100
     check_val_every_n_epoch: int = 10
-    log_every_n_steps: int = 50
+    # number of devices for data-parallel training (reference
+    # configs/trainer/ddp.yaml devices: 4 under Lightning DDP). Each
+    # global step consumes `devices` loader batches — one per device —
+    # stacked over a ('data',) jax.sharding.Mesh; gradients and
+    # confusion matrices psum over ICI (parallel/mesh.py). Per-step
+    # metrics therefore match a single-device run that averages the
+    # same `devices` batches (grad-accumulation semantics).
+    devices: int = 1
     seed: int = 0
     node_caps: Optional[dict] = None
     k_caps: Optional[dict] = None
@@ -223,11 +230,39 @@ class Trainer:
                              opt_state=restored['opt_state'],
                              step=restored['step'], **kw)
 
+    # -- data parallelism -------------------------------------------------
+    def _make_dp(self, state):
+        """Mesh + pjit-ted DP step over the first `devices` jax
+        devices (reference trainer=ddp; parallel/mesh.py)."""
+        from .parallel import make_data_mesh, make_dp_train_step
+        have = len(jax.devices())
+        if have < self.devices:
+            raise RuntimeError(
+                f'trainer.devices={self.devices} but only {have} JAX '
+                'device(s) are visible — run on a larger slice or '
+                'set trainer.devices accordingly')
+        if getattr(self.task, 'accumulate_grad_batches', 1) > 1:
+            raise ValueError(
+                'trainer.devices > 1 is incompatible with '
+                'accumulate_grad_batches > 1 (DP already averages '
+                'over the device axis)')
+        if getattr(state, 'batch_stats', None) is not None:
+            raise ValueError(
+                "trainer.devices > 1 does not support "
+                "norm_mode='batch' running statistics; use the "
+                "default 'graph' norms")
+        mesh = make_data_mesh(jax.devices()[:self.devices])
+        return make_dp_train_step(self.task, mesh), mesh
+
     # -- loops ----------------------------------------------------------
     def fit(self, state, train_loader, val_loader=None, rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(self.seed)
         np_rng = np.random.default_rng(self.seed)
         step = int(state.step)
+        dp_step = mesh = None
+        if self.devices > 1:
+            from .parallel import stack_batches, shard_batch
+            dp_step, mesh = self._make_dp(state)
         for epoch in range(self.epoch, self.max_epochs):
             self.epoch = epoch
             cm = ConfusionMatrix(self.task.num_classes)
@@ -236,16 +271,36 @@ class Trainer:
             # the axon dev tunnel permanently degrade it)
             dev_losses, dev_cms = [], []
             t0 = time.time()
+            group = []
             for nags in train_loader:
                 # PreparedDataLoader yields device-ready batches
                 batch = nags if isinstance(nags, PaddedNAG) \
                     else prepare_batch(
-                        nags, self.batch_cfg, train=True, rng=np_rng)
-                rng, sub = jax.random.split(rng)
-                state, metrics = self.task.train_step(state, batch, sub)
+                        nags, self.batch_cfg, train=True, rng=np_rng,
+                        device=dp_step is None)
+                if dp_step is not None:
+                    # one loader batch per device; step when the group
+                    # is full (equal padded shapes via pinned caps)
+                    group.append(batch)
+                    if len(group) < self.devices:
+                        continue
+                    batch = shard_batch(stack_batches(group), mesh)
+                    group = []
+                    rng, sub = jax.random.split(rng)
+                    state, metrics = dp_step(state, batch, sub)
+                else:
+                    rng, sub = jax.random.split(rng)
+                    state, metrics = self.task.train_step(
+                        state, batch, sub)
                 dev_losses.append(metrics['loss'])
                 dev_cms.append(metrics['confmat'])
                 step += 1
+            if group:
+                # incomplete trailing device group: dropped, like DDP's
+                # DistributedSampler drops/pads ragged last batches
+                print(f"[epoch {epoch}] dropping {len(group)} trailing "
+                      f"batch(es) not filling the {self.devices}-device "
+                      "group")
             losses = [float(x) for x in jax.device_get(dev_losses)]
             for c in jax.device_get(dev_cms):
                 cm.merge(np.asarray(c))
@@ -257,8 +312,10 @@ class Trainer:
                    'lr': lr_at(step) if lr_at is not None else None,
                    'time': time.time() - t0}
             self.logger.log(row)
+            loss_s = (f"{row['loss']:.4f}" if row['loss'] is not None
+                      else 'n/a (no full device group this epoch)')
             print(f"[epoch {epoch}] train loss="
-                  f"{row['loss']:.4f} miou={m['miou']:.2f} "
+                  f"{loss_s} miou={m['miou']:.2f} "
                   f"({row['time']:.1f}s)")
 
             stop = False

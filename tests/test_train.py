@@ -209,3 +209,69 @@ def test_semantic_task_plateau_trains():
     # multiplier reachable through the real opt_state
     st2 = set_lr_multiplier(state.opt_state, 0.25)
     assert st2 is not state.opt_state
+
+
+def test_trainer_devices_matches_grad_accumulation(tmp_path):
+    """Trainer(devices=8) runs one global step per 8 loader batches;
+    its logged loss equals the mean of the 8 per-batch losses at the
+    step's params, and its parameter update equals a single-device
+    update with the averaged gradients (DDP ≡ grad-accumulation at
+    equal global batch; reference configs/trainer/ddp.yaml +
+    src/models/semantic.py:949-950 metric reduction)."""
+    import csv
+    import os.path as osp
+    from superpoint_transformer_tpu.trainer import Trainer
+
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 (virtual) devices')
+
+    task = SemanticTask(net=tiny_model(num_graphs=1), num_classes=13,
+                        total_steps=10, warmup_steps=0)
+    batches = [make_batch(seed=s) for s in range(8)]
+    state = task.init_state(jax.random.PRNGKey(0), batches[0])
+    init_params = jax.tree_util.tree_map(np.asarray, state.params)
+
+    cfg = BatchConfig(sample_graph_r=-1, sample_segment_ratio=0)
+    tr = Trainer(task=task, batch_cfg=cfg, output_dir=str(tmp_path),
+                 max_epochs=1, devices=8)
+    state2 = tr.fit(state, batches)
+    assert int(state2.step) == 1
+
+    # (a) loss parity: pmean of per-device losses == mean of the 8
+    # individual losses at the initial params (tiny model: no dropout)
+    losses, grads = [], []
+    for b in batches:
+        (l, _), g = jax.value_and_grad(
+            task._loss_fn, has_aux=True)(
+            state.params, b, jax.random.PRNGKey(0))
+        losses.append(float(l))
+        grads.append(g)
+    with open(osp.join(str(tmp_path), 'metrics.csv')) as f:
+        row = [r for r in csv.DictReader(f)
+               if r['split'] == 'train'][0]
+    np.testing.assert_allclose(float(row['loss']), np.mean(losses),
+                               rtol=1e-4)
+
+    # (b) update parity: DP step == apply_gradients(mean of grads).
+    # Compare only where |grad| is non-tiny: at step 1 Adam's update is
+    # lr*g/(|g|+eps), so coordinates with |g|~eps amplify f32
+    # summation-order noise (pmean vs host mean differ at ~3e-6
+    # relative) into arbitrary update signs — ill-conditioned by
+    # construction, not a parity failure.
+    gmean = jax.tree_util.tree_map(
+        lambda *xs: sum(xs) / len(xs), *grads)
+    expect = state.replace(
+        params=init_params).apply_gradients(grads=gmean).params
+    checked = 0
+    for (pa, a), (_, b), (_, g) in zip(
+            jax.tree_util.tree_leaves_with_path(state2.params),
+            jax.tree_util.tree_leaves_with_path(expect),
+            jax.tree_util.tree_leaves_with_path(gmean)):
+        mask = np.abs(np.asarray(g)) > 1e-3
+        if not mask.any():
+            continue
+        checked += int(mask.sum())
+        np.testing.assert_allclose(
+            np.asarray(a)[mask], np.asarray(b)[mask], rtol=1e-3,
+            atol=1e-6, err_msg=jax.tree_util.keystr(pa))
+    assert checked > 100  # the comparison actually covered parameters

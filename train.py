@@ -55,7 +55,11 @@ def main(argv=None):
         return None
 
     max_epochs = int(cfg.trainer.max_epochs)
-    steps_per_epoch = max(len(train_loader), 1)
+    devices = int(cfg.trainer.get('devices', 1))
+    # with data parallelism each global step consumes `devices` loader
+    # batches (reference trainer=ddp: per-rank batches, global batch =
+    # devices x batch_size)
+    steps_per_epoch = max(len(train_loader) // max(devices, 1), 1)
 
     class_weight = None
     if cfg.model.get('weighted_loss'):
@@ -88,7 +92,10 @@ def main(argv=None):
     state = task.init_state(jax.random.PRNGKey(seed), example)
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(state.params))
-    print(f'model parameters: {n_params:,}')
+    from superpoint_transformer_tpu.experiment import precision_to_dtype
+    dtype = precision_to_dtype(cfg.trainer.get('precision')) or 'float32'
+    print(f'model parameters: {n_params:,} '
+          f'(compute dtype {dtype}, devices {devices})')
 
     # SuperCluster: run the instance partition + PQ on the partition
     # cadence and select the best checkpoint by PQ (reference
@@ -107,7 +114,7 @@ def main(argv=None):
     trainer = Trainer(
         task=task, batch_cfg=batch_cfg, eval_batch_cfg=eval_batch_cfg,
         output_dir=str(cfg.get('output_dir', 'outputs')),
-        max_epochs=max_epochs,
+        max_epochs=max_epochs, devices=devices,
         check_val_every_n_epoch=int(
             cfg.trainer.check_val_every_n_epoch),
         early_stopping_patience=int(
