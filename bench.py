@@ -7,12 +7,24 @@ North star (BASELINE.json / BASELINE.md): full S3DIS preprocessing +
 training in < 1 h on a TPU v5e-8 at mIoU parity. This benchmark
 measures the three real costs and projects the end-to-end wall time:
 
-  1. TRAIN STEP: jitted train_step wall time on a reference-shaped
-     batch (4 clouds, radius-subgraph crops — reference
-     configs/datamodule/semantic/s3dis.yaml batch_size=4), on the real
-     chip. The reference trains 2000 epochs x ~2 steps/epoch
-     (5 training areas / batch 4) = ~4000 steps for S3DIS
-     (configs/experiment/semantic/s3dis.yaml:15).
+  1. TRAIN STEP: jitted train_step wall time on a 4-cloud batch of
+     radius-subgraph crops, on the real chip. Step-count accounting
+     (in CROPS, the unit of optimization work): the reference S3DIS
+     run is 2000 epochs x 5 training areas at dataloader
+     batch_size=1 (configs/datamodule/semantic/s3dis.yaml:8,
+     experiment/semantic/s3dis.yaml max_epochs: 2000) = 10,000 steps,
+     each one cloud x 4 radius crops (SampleRadiusSubgraphs k=4) =
+     40,000 crops total. This repo's batch is 4 clouds x 4 crops = 16
+     crops, so REF_TOTAL_STEPS=4000 such steps = 64,000 crops — a
+     CONSERVATIVE (1.6x) over-provision of the reference's
+     optimization work.
+  1b. VALIDATION: the reference validates every 10 epochs
+     (configs/trainer/default.yaml check_val_every_n_epoch: 10) ->
+     200 whole-tile sweeps of the val area (Area_5). Projected from
+     the measured whole-room inference throughput over an assumed
+     ~9M-voxel val split (Area_5 is ~78M raw points; at the 3cm voxel
+     grid indoor scans retain roughly an eighth of raw points —
+     the demo room's stored NAG is consistent with this).
   2. HOST BATCH PREP: augment+sample+pad seconds per batch on one
      core; in production this runs in PreparedDataLoader worker
      processes and overlaps the device step.
@@ -54,7 +66,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BUDGET_HOURS = 1.0               # north-star budget (BASELINE.json)
-REF_TOTAL_STEPS = 4000           # 2000 epochs x 2 steps (see docstring)
+REF_TOTAL_STEPS = 4000           # 64k crops >= ref's 40k (docstring 1.)
+VAL_SWEEPS = 200                 # 2000 epochs / check_val_every_n_epoch
+VAL_VOXEL_POINTS_M = 9.0         # assumed Area_5 voxel count (doc 1b.)
 S3DIS_RAW_POINTS_M = 273.0       # ~273M raw points over 6 areas
 ASSUMED_CORES = 16               # preprocessing fan-out on a v5e-8 host
 V5E_BF16_PEAK_FLOPS = 197e12     # per chip
@@ -88,6 +102,66 @@ def _bench_preprocessing():
                          rng=np.random.default_rng(0))
         best = min(best, time.perf_counter() - t0)
     return best * (1e6 / n)
+
+
+def _pallas_bwd_grad_parity(platform, n=4096, k=32, h=16, d=4, c=64,
+                            de=32):
+    """Max relative error between the Pallas single-pass backward's
+    gradients and XLA autodiff of the identical expression, at the
+    flagship attention shape ([N=4096, K=32] neighbors, 16 heads x 4
+    qk dims, 64 value channels, 32-dim RPE features) in bf16. On a
+    TPU backend dense_attention_rpe_trainable routes through
+    dense_attention_rpe_bwd_pallas (the kernel under test); on CPU it
+    falls back to the XLA vjp and this measures ~0."""
+    import jax
+    import jax.numpy as jnp
+    from superpoint_transformer_tpu.ops.pallas_attention import (
+        dense_attention_rpe_trainable, _rpe_xla_reference)
+
+    keys = jax.random.split(jax.random.PRNGKey(42), 12)
+    dt = jnp.bfloat16
+    q = jax.random.normal(keys[0], (n, h, d), dt)
+    kg = jax.random.normal(keys[1], (n, k, h * d), dt)
+    vg = jax.random.normal(keys[2], (n, k, c), dt)
+    ef = jax.random.normal(keys[3], (n, k, de), dt)
+    wk = jax.random.normal(keys[4], (de, h * d), dt) * 0.3
+    bk = jax.random.normal(keys[5], (h * d,), dt) * 0.1
+    wq = jax.random.normal(keys[6], (de, h * d), dt) * 0.3
+    bq = jax.random.normal(keys[7], (h * d,), dt) * 0.1
+    wv = jax.random.normal(keys[8], (de, c), dt) * 0.3
+    bv = jax.random.normal(keys[9], (c,), dt) * 0.1
+    nbr_mask = jax.random.uniform(keys[10], (n, k)) > 0.2
+    nbr_mask = nbr_mask.at[:, 0].set(True)  # no empty rows
+    scale = jnp.full((n,), 1.0 / np.sqrt(d), jnp.float32)
+    w_out = jax.random.normal(keys[11], (n, h, c // h), jnp.float32)
+
+    args = (q, kg, vg, ef, wk, bk, wq, bq, wv, bv)
+
+    def loss_pallas(*a):
+        out = dense_attention_rpe_trainable(*a, nbr_mask, scale)
+        return jnp.sum(out.astype(jnp.float32) * w_out)
+
+    def loss_xla(*a):
+        out = _rpe_xla_reference(*a, nbr_mask, scale)
+        return jnp.sum(out.astype(jnp.float32) * w_out)
+
+    argnums = tuple(range(10))
+    gp = jax.jit(jax.grad(loss_pallas, argnums))(*args)
+    gx = jax.jit(jax.grad(loss_xla, argnums))(*args)
+    gp, gx = jax.device_get((gp, gx))
+    worst = 0.0
+    for a, b in zip(gp, gx):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        denom = max(float(np.abs(b).max()), 1e-6)
+        worst = max(worst, float(np.abs(a - b).max()) / denom)
+    assert np.isfinite(worst), 'non-finite Pallas backward gradients'
+    # observed: 7.6e-3 on v5e hardware (docs/performance.md), 3.4e-2
+    # in interpret mode on CPU — 0.1 catches real breakage (wrong
+    # slot masking / LSE rebuild) without tripping on bf16 noise
+    assert worst < 1e-1, (
+        f'Pallas backward grad parity broke: max rel err {worst:.2e}')
+    return worst
 
 
 def main():
@@ -232,6 +306,14 @@ def main():
     fwd_sec = (d_big - d_small) / (N_BIG - N_SMALL)
     assert np.isfinite(f_small) and np.isfinite(f_big)
 
+    # ---- Pallas-backward grad parity on hardware (flagship shape) ----
+    # Driver-visible artifact (VERDICT r2 item 10): gradients of the
+    # fused-RPE Pallas kernel's single-pass backward
+    # (ops/pallas_attention.py dense_attention_rpe_bwd_pallas) vs XLA
+    # autodiff of the mathematically-identical expression, at the
+    # flagship attention shape, in the flagship compute dtype (bf16).
+    pallas_bwd_max_rel_err = _pallas_bwd_grad_parity(platform)
+
     # ---- north-star projection ----------------------------------------
     preproc_hours = (S3DIS_RAW_POINTS_M * preproc_sec_per_1m
                      / ASSUMED_CORES) / 3600.0
@@ -239,7 +321,11 @@ def main():
     # workers); per-step wall = max(device, host/workers)
     step_wall = max(step_sec, bprep_sec / ASSUMED_CORES)
     train_hours = REF_TOTAL_STEPS * step_wall / 3600.0
-    e2e_hours = preproc_hours + train_hours
+    # 200 whole-tile validation sweeps at the measured inference
+    # throughput (docstring 1b.)
+    val_hours = (VAL_SWEEPS * VAL_VOXEL_POINTS_M * 1e6
+                 / (n_points_fwd / fwd_sec)) / 3600.0
+    e2e_hours = preproc_hours + train_hours + val_hours
 
     mfu_pct = (fwd_flops / fwd_sec / V5E_BF16_PEAK_FLOPS * 100.0
                if np.isfinite(fwd_flops) else None)
@@ -257,6 +343,10 @@ def main():
                 preproc_sec_per_1m, 1),
             'projected_preprocess_hours': round(preproc_hours, 4),
             'projected_train_hours': round(train_hours, 4),
+            'projected_val_hours': round(val_hours, 4),
+            'val_sweeps': VAL_SWEEPS,
+            'pallas_bwd_max_rel_err': (
+                round(pallas_bwd_max_rel_err, 6)),
             'assumed_cores': ASSUMED_CORES,
             'assumed_s3dis_raw_points_m': S3DIS_RAW_POINTS_M,
             'ref_total_steps': REF_TOTAL_STEPS,
