@@ -36,6 +36,17 @@ torch `nn.Linear.weight` is [out, in]; flax Dense kernels are
 [in, out] — transposed on import. Index-based norms carry identical
 parameter names on both sides (weight / bias / mean_scale for
 GraphNorm).
+
+Covered model families (round-trip tests in tests/test_import_ckpt.py):
+  - flagship + nano semantic (nano first_stage is a Stage, reference
+    spt.py:487 — same key grammar, no PointStage)
+  - SuperCluster panoptic: `edge_affinity_head` FFN on the task module
+    (reference panoptic.py:257-258 -> edge_affinity_head.mlp.{0,2}.*)
+  - EZ-SP: sparse-CNN weights under net.first_stage.cnn_blocks.{i}
+    (.conv.kernel [K, in, out] reshaped to our [K*in, out] gather-
+    matmul layout, .norm.* GraphNorm), importable both into the SPT
+    point stage (stage-2) and the standalone PartitionModel (stage-1,
+    reference load convention src/transforms/point.py:724-726)
 """
 import re
 
@@ -98,6 +109,27 @@ def reference_key_for(path, normed_mlps=True):
     if path and path[0] == 'head' and path[1:] == ['classifier']:
         return f'head.classifier.{ref_leaf}'
 
+    # SuperCluster edge-affinity head: an FFN on the task module
+    # (reference src/models/panoptic.py:257-258
+    # `self.edge_affinity_head = FFN(out_dim*2, hidden_dim=32,
+    # out_dim=1)` -> keys edge_affinity_head.mlp.{0,2}.*)
+    if path and path[0] == 'edge_affinity_head':
+        m = re.fullmatch(r'linear_(\d+)', path[1]) if path[1:] else None
+        if m:
+            j = _mlp_module_index('linear', int(m.group(1)),
+                                  normed=False)
+            return f'edge_affinity_head.mlp.{j}.{ref_leaf}'
+        return None
+
+    # EZ-SP stage-1 PartitionModel: our params root is {'cnn': ...};
+    # the reference trains the same weights as net.first_stage
+    # .cnn_blocks inside a PartitionAndSemanticModule ckpt (reference
+    # src/nn/stage.py:714 + the `net.first_stage.` strip convention in
+    # src/transforms/point.py:724-726)
+    if path and path[0] == 'cnn':
+        return _cnn_key(['net', 'first_stage'], path[1:], leaf,
+                        ref_leaf)
+
     if not path or path[0] != 'net':
         return None
     parts = ['net']
@@ -108,8 +140,13 @@ def reference_key_for(path, normed_mlps=True):
     parts.append(stage)
     i += 1
 
-    # hf MLPs: our module IS the MLP; stages nest in_mlp/out_mlp
+    # EZ-SP stage-2: PointStage with a sparse CNN front
+    # (reference src/nn/stage.py:714 self.cnn_blocks = SparseCNN(...))
     rest = path[i:]
+    if rest and rest[0] == 'cnn':
+        return _cnn_key(parts, rest[1:], leaf, ref_leaf)
+
+    # hf MLPs: our module IS the MLP; stages nest in_mlp/out_mlp
     if rest and rest[0] in ('in_mlp', 'out_mlp'):
         parts.append(rest[0])
         rest = rest[1:]
@@ -135,6 +172,28 @@ def reference_key_for(path, normed_mlps=True):
                                   normed=False)
             parts.append(f'mlp.{j}')
             return '.'.join(parts) + '.' + ref_leaf
+    return None
+
+
+def _cnn_key(parts, rest, leaf, ref_leaf):
+    """Sparse-CNN block params. Reference layout (src/nn/sparse.py:14
+    ConvBlock inside the SparseCNN ModuleList): cnn_blocks.{i}.conv
+    .kernel|bias (torchsparse Conv3d param is literally 'kernel') and
+    cnn_blocks.{i}.norm.* (GraphNorm). Ours: cnn/block_{i}/kernel|bias
+    + an auto-named flax norm submodule (GraphNorm_0 etc.)."""
+    if not rest:
+        return None
+    m = re.fullmatch(r'block_(\d+)', rest[0])
+    if not m:
+        return None
+    base = '.'.join(parts) + f'.cnn_blocks.{m.group(1)}'
+    mid = rest[1:]
+    if not mid:
+        if leaf in ('kernel', 'bias'):
+            return f'{base}.conv.{leaf}'
+        return None
+    if len(mid) == 1 and re.fullmatch(r'[A-Za-z]*Norm_\d+', mid[0]):
+        return f'{base}.norm.{ref_leaf}'
     return None
 
 
@@ -179,7 +238,14 @@ def import_reference_checkpoint(ckpt, params, strict=True,
             missing.append('/'.join(path))
             continue
         if path[-1] == 'kernel':
-            src = src.T
+            if key.endswith('.conv.kernel'):
+                # torchsparse Conv3d kernels: [K, in, out] for K>1
+                # (flatten to our [K*in, out] gather-matmul layout);
+                # 1x1 convs are stored [in, out] already
+                if src.ndim == 3:
+                    src = src.reshape(-1, src.shape[-1])
+            else:
+                src = src.T
         if src.shape != tuple(np.shape(value)):
             raise ValueError(
                 f"shape mismatch for {'/'.join(path)} <- {key}: "
