@@ -241,10 +241,12 @@ def _greedy_cut_py(f, src, dst, ew, nw, reg, cutoff, refine_sweeps=8):
 
 def _refine_py(f, src, dst, ew, nw, reg, cutoff, comp, n_comp,
                sweeps):
-    """Fallback twin of the native phase 3: boundary reassignment
-    (exact energy descent) + connectivity split, see
-    native/greedy_cut.cpp."""
+    """Fallback twin of the native phase 3: alternating split
+    (principal-direction 2-means 2-coloring, accepted on energy
+    descent) + boundary reassignment (exact energy descent), then a
+    connectivity split — see native/greedy_cut.cpp."""
     n, d = f.shape
+    f64 = f.astype(np.float64)
     wgt = nw.astype(np.float64) if nw is not None else np.ones(n)
     w = (ew if ew is not None else
          np.ones(src.shape[0], np.float32)).astype(np.float64)
@@ -260,44 +262,117 @@ def _refine_py(f, src, dst, ew, nw, reg, cutoff, comp, n_comp,
         nbrs[u][v] = nbrs[u].get(v, 0.0) + x
         nbrs[v][u] = nbrs[v].get(u, 0.0) + x
     min_keep = cutoff if cutoff > 0 else 1e-12
-    for _ in range(sweeps):
-        moves = 0
-        for v in range(n):
-            a = comp[v]
-            wv = wgt[v]
-            if cs[a] - wv < min_keep or not nbrs[v]:
+
+    def split_pass():
+        nonlocal cs, cmu
+        accepted = 0
+        for c in range(cs.shape[0]):
+            mem = np.where(comp == c)[0]
+            if mem.size < 2 or cs[c] < 2 * min_keep:
                 continue
-            w_same = 0.0
-            wnb = {}
-            for u, x in nbrs[v].items():
-                c = comp[u]
-                if c == a:
-                    w_same += x
-                else:
-                    wnb[c] = wnb.get(c, 0.0) + x
-            if not wnb:
+            X = f64[mem]
+            wm = wgt[mem]
+            mu = cmu[c]
+            Xc = X - mu
+            scat = (Xc * wm[:, None]).T @ Xc
+            if scat.diagonal().max() <= 1e-24:
                 continue
-            fv = f[v].astype(np.float64)
-            da = fv - cmu[a]
-            rm = cs[a] * wv / (cs[a] - wv) * float(da @ da)
-            best_c, best_dE = -1, -1e-9
-            for c, wc in wnb.items():
-                dc = fv - cmu[c]
-                dE = cs[c] * wv / (cs[c] + wv) * float(dc @ dc) \
-                    - rm + reg * (w_same - wc)
-                if dE < best_dE:
-                    best_c, best_dE = c, dE
-            if best_c < 0:
+            v = np.zeros(d)
+            v[int(np.argmax(scat.diagonal()))] = 1.0
+            for _ in range(8):
+                t = scat @ v
+                nrm = np.linalg.norm(t)
+                if nrm <= 1e-30:
+                    break
+                v = t / nrm
+            side = Xc @ v > 0
+            for _ in range(6):
+                w1, w0 = wm[side].sum(), wm[~side].sum()
+                if w1 <= 0 or w0 <= 0:
+                    break
+                m1 = (X[side] * wm[side, None]).sum(0) / w1
+                m0 = (X[~side] * wm[~side, None]).sum(0) / w0
+                new = ((X - m1) ** 2).sum(1) < ((X - m0) ** 2).sum(1)
+                if (new == side).all():
+                    break
+                side = new
+            w1, w0 = wm[side].sum(), wm[~side].sum()
+            if w1 < min_keep or w0 < min_keep:
                 continue
-            cmu[a] = (cmu[a] * cs[a] - wv * fv) / (cs[a] - wv)
-            cmu[best_c] = (cmu[best_c] * cs[best_c] + wv * fv) \
-                / (cs[best_c] + wv)
-            cs[a] -= wv
-            cs[best_c] += wv
-            comp[v] = best_c
-            moves += 1
-        if moves == 0:
+            m1 = (X[side] * wm[side, None]).sum(0) / w1
+            m0 = (X[~side] * wm[~side, None]).sum(0) / w0
+            fid_old = float((wm[:, None] * Xc ** 2).sum())
+            fid_new = float(
+                (wm[side, None] * (X[side] - m1) ** 2).sum()
+                + (wm[~side, None] * (X[~side] - m0) ** 2).sum())
+            side_of = np.zeros(n, bool)
+            side_of[mem[side]] = True
+            cut_w = 0.0
+            for vtx in mem:
+                for u, x in nbrs[vtx].items():
+                    if comp[u] == c and u > vtx \
+                            and side_of[u] != side_of[vtx]:
+                        cut_w += x
+            if (fid_new - fid_old) + reg * cut_w >= -1e-9:
+                continue
+            newc = cs.shape[0]
+            cs = np.append(cs, w1)
+            cs[c] = w0
+            cmu = np.vstack([cmu, m1[None]])
+            cmu[c] = m0
+            comp[mem[side]] = newc
+            accepted += 1
+        return accepted
+
+    def reassign():
+        total = 0
+        for _ in range(sweeps):
+            moves = 0
+            for v in range(n):
+                a = comp[v]
+                wv = wgt[v]
+                if cs[a] - wv < min_keep or not nbrs[v]:
+                    continue
+                w_same = 0.0
+                wnb = {}
+                for u, x in nbrs[v].items():
+                    c = comp[u]
+                    if c == a:
+                        w_same += x
+                    else:
+                        wnb[c] = wnb.get(c, 0.0) + x
+                if not wnb:
+                    continue
+                fv = f64[v]
+                da = fv - cmu[a]
+                rm = cs[a] * wv / (cs[a] - wv) * float(da @ da)
+                best_c, best_dE = -1, -1e-9
+                for c, wc in wnb.items():
+                    dc = fv - cmu[c]
+                    dE = cs[c] * wv / (cs[c] + wv) * float(dc @ dc) \
+                        - rm + reg * (w_same - wc)
+                    if dE < best_dE:
+                        best_c, best_dE = c, dE
+                if best_c < 0:
+                    continue
+                cmu[a] = (cmu[a] * cs[a] - wv * fv) / (cs[a] - wv)
+                cmu[best_c] = (cmu[best_c] * cs[best_c] + wv * fv) \
+                    / (cs[best_c] + wv)
+                cs[a] -= wv
+                cs[best_c] += wv
+                comp[v] = best_c
+                moves += 1
+            total += moves
+            if moves == 0:
+                break
+        return total
+
+    for _ in range(3):
+        nsplit = split_pass()
+        moves = reassign()
+        if nsplit == 0 and moves == 0:
             break
+    n_comp = cs.shape[0]
     # connectivity split (undersized parts rejoin the heaviest part)
     parent = np.arange(n)
 

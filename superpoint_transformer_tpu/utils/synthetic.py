@@ -7,7 +7,7 @@ from ..data.data import Data
 from ..data.nag import NAG
 from ..data.csr import Cluster
 
-__all__ = ['random_nag']
+__all__ = ['random_nag', 'synthetic_room_cloud', 'synthetic_aerial_cloud']
 
 
 def random_nag(seed=0, n_points=512, n_l1=64, n_l2=16, num_classes=13,
@@ -157,3 +157,97 @@ def synthetic_room_cloud(seed=0, n_points=250_000, extent=(10.0, 8.0, 3.0),
     perm = rng.permutation(pos.shape[0])
     return Data(pos=pos[perm].astype(np.float32), rgb=rgb[perm],
                 y=y[perm])
+
+
+def synthetic_aerial_cloud(seed=0, n_points=120_000,
+                           extent=(60.0, 40.0), n_buildings=5,
+                           noise=0.02, num_classes=13):
+    """Outdoor/aerial-survey-like tile: undulating ground, buildings
+    with LONG planar walls and flat roofs, linear power-line spans and
+    scattered vegetation blobs — the DALES-like statistics (large
+    planar surfaces with high aspect ratio) that stress a merge-only
+    partition solver very differently from indoor rooms.
+
+    Returns (Data(pos, rgb, y), planted) where `planted` assigns each
+    point the id of its generating primitive (one id per planar face /
+    line / blob): the planted piecewise-planar partition used as the
+    energy competitor in the solver-parity goldens
+    (tests/test_solver_parity.py)."""
+    rng = np.random.default_rng(seed)
+    ex, ey = extent
+    parts = []  # (pos, label)
+
+    def add(p, label):
+        parts.append((p.astype(np.float32),
+                      np.full(p.shape[0], label, dtype=np.int64)))
+
+    def ground_z(xy):
+        return (0.4 * np.sin(xy[:, 0] * 0.15)
+                + 0.3 * np.cos(xy[:, 1] * 0.21)
+                + 0.01 * xy[:, 0]).astype(np.float32)
+
+    # ground: ~50% of points over the full tile (label 0)
+    n_ground = int(n_points * 0.5)
+    xy = rng.random((n_ground, 2)).astype(np.float32) * [ex, ey]
+    add(np.column_stack([xy, ground_z(xy)]), 0)
+
+    # buildings: long walls (aspect ratio >= 5) + flat roof (label 2)
+    n_bld = int(n_points * 0.35) // max(n_buildings, 1)
+    for i in range(n_buildings):
+        cx = rng.random() * (ex - 20) + 4
+        cy = rng.random() * (ey - 12) + 3
+        L = rng.random() * 10 + 8          # long side
+        W = rng.random() * 4 + 3
+        H = rng.random() * 5 + 4
+        z0 = float(ground_z(np.array([[cx, cy]]))[0])
+        faces = [((cx, cy, z0 + H), (L, 0, 0), (0, W, 0)),   # roof
+                 ((cx, cy, z0), (L, 0, 0), (0, 0, H)),       # walls
+                 ((cx, cy + W, z0), (L, 0, 0), (0, 0, H)),
+                 ((cx, cy, z0), (0, W, 0), (0, 0, H)),
+                 ((cx + L, cy, z0), (0, W, 0), (0, 0, H))]
+        areas = np.array([np.linalg.norm(np.cross(u, v))
+                          for _, u, v in faces])
+        for (o, u, v), w in zip(faces, areas / areas.sum()):
+            m = max(int(n_bld * w), 8)
+            a = rng.random(m).astype(np.float32)[:, None]
+            b = rng.random(m).astype(np.float32)[:, None]
+            p = (np.asarray(o, np.float32)[None]
+                 + a * np.asarray(u, np.float32)[None]
+                 + b * np.asarray(v, np.float32)[None])
+            add(p, 2)
+
+    # power lines: long thin catenary-like spans (label 3)
+    n_line = int(n_points * 0.05) // 3
+    for i in range(3):
+        x0, y0 = rng.random(2) * [ex * 0.2, ey]
+        x1, y1 = ex * 0.8 + rng.random() * ex * 0.2, rng.random() * ey
+        t = rng.random(max(n_line, 16)).astype(np.float32)
+        sag = 1.5 * (t - 0.5) ** 2 * 4 - 1.5
+        p = np.column_stack([x0 + t * (x1 - x0), y0 + t * (y1 - y0),
+                             9.0 + sag + i * 0.4])
+        add(p, 3)
+
+    # vegetation: scattered ellipsoidal blobs (label 1)
+    n_veg_total = n_points - sum(p.shape[0] for p, _ in parts)
+    n_blobs = 8
+    for i in range(n_blobs):
+        m = max(n_veg_total // n_blobs, 16)
+        c = rng.random(2) * [ex, ey]
+        z0 = float(ground_z(c[None])[0])
+        r = rng.random(3) * [1.5, 1.5, 2.0] + [0.8, 0.8, 1.0]
+        p = rng.normal(size=(m, 3)).astype(np.float32) * r * 0.5 \
+            + [c[0], c[1], z0 + r[2] + 0.5]
+        add(p, 1)
+
+    pos = np.concatenate([p for p, _ in parts])
+    y = np.concatenate([l for _, l in parts])
+    planted = np.concatenate([
+        np.full(p.shape[0], i, dtype=np.int64)
+        for i, (p, _) in enumerate(parts)])
+    pos += rng.normal(0, noise, pos.shape).astype(np.float32)
+    base = rng.random((num_classes, 3)).astype(np.float32)
+    rgb = np.clip(base[y] + rng.normal(0, 0.05, pos.shape), 0, 1
+                  ).astype(np.float32)
+    perm = rng.permutation(pos.shape[0])
+    return (Data(pos=pos[perm].astype(np.float32), rgb=rgb[perm],
+                 y=y[perm]), planted[perm])
