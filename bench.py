@@ -66,6 +66,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BUDGET_HOURS = 1.0               # north-star budget (BASELINE.json)
+# end-to-end inference benchmark (reference headline: 18M points in
+# 10.1 s on one GPU, README.md:103): DALES-like synthetic tile size.
+# The full 18M single-core run takes ~10 min on this 1-core VM — the
+# driver bench uses a 2M tile by default (same per-point cost; the
+# 18M number in STATUS.md/docs/performance.md was measured once with
+# SPT_BENCH_E2E_POINTS=18000000)
+E2E_POINTS = int(os.environ.get('SPT_BENCH_E2E_POINTS', 2_000_000))
 REF_TOTAL_STEPS = 4000           # 64k crops >= ref's 40k (docstring 1.)
 VAL_SWEEPS = 200                 # 2000 epochs / check_val_every_n_epoch
 VAL_VOXEL_POINTS_M = 9.0         # assumed Area_5 voxel count (doc 1b.)
@@ -162,6 +169,53 @@ def _pallas_bwd_grad_parity(platform, n=4096, k=32, h=16, d=4, c=64,
     assert worst < 1e-1, (
         f'Pallas backward grad parity broke: max rel err {worst:.2e}')
     return worst
+
+
+def _bench_e2e_inference():
+    """End-to-end whole-tile inference (reference headline: 18M raw
+    points / 7.8 km2 in 10.1 s on one GPU incl. partition,
+    README.md:103): DALES-density synthetic aerial tile -> xy tiles ->
+    preprocess (single core HERE; per-tile fan-out across workers in
+    production) -> shared-signature whole-tile forwards -> full-res
+    recovery. Runs LAST in the bench: its per-tile argmax fetches are
+    device reads, which permanently degrade the axon relay's dispatch
+    (see TIMING METHODOLOGY)."""
+    import dataclasses
+    import jax
+    from superpoint_transformer_tpu.utils.synthetic import (
+        synthetic_aerial_cloud)
+    from superpoint_transformer_tpu.inference import e2e_inference
+    from superpoint_transformer_tpu.models.semantic import (
+        SemanticSegmentationModel)
+    from __graft_entry__ import _make_model, _make_batch
+
+    n = E2E_POINTS
+    area = n / 50.0  # DALES-like ~50 pts/m^2
+    ex = float(np.sqrt(area * 1.5))
+    ey = area / ex
+    data, _ = synthetic_aerial_cloud(
+        seed=0, n_points=n, extent=(ex, ey),
+        n_buildings=max(6, int(area // 2500)))
+    model = SemanticSegmentationModel(net=_make_model(num_graphs=1),
+                                      num_classes=13)
+    variables = jax.jit(model.init, static_argnames=('train',))(
+        jax.random.PRNGKey(0), _make_batch(), train=False)
+    # reference DALES preprocessing parameters
+    # (configs/datamodule/semantic/dales.yaml:63-80)
+    pre = dict(voxel=0.1, knn=25, knn_r=10.0, knn_min_search=10,
+               pcp_regularization=(0.1, 0.2, 0.3),
+               pcp_spatial_weight=(0.1, 0.01, 0.001),
+               pcp_cutoff=(10, 30, 100), graph_gap=(5.0, 30.0, 30.0))
+    pred, info = e2e_inference(model, variables, data, pre_cfg=pre,
+                               target_tile_points=600_000)
+    assert pred.shape[0] == n
+    t = info['timings_sec']
+    # preprocessing is per-tile parallel (datasets/base.py worker
+    # fan-out); project it over assumed_cores, everything else as-is
+    proj = (t['preprocess'] / ASSUMED_CORES + t['tile'] + t['pin']
+            + t['forward'] + t['recover'])
+    info['projected_raw_points_per_sec_cores'] = round(n / proj, 1)
+    return info
 
 
 def main():
@@ -314,6 +368,9 @@ def main():
     # flagship attention shape, in the flagship compute dtype (bf16).
     pallas_bwd_max_rel_err = _pallas_bwd_grad_parity(platform)
 
+    # ---- end-to-end whole-tile inference (runs last: device reads) ---
+    e2e = _bench_e2e_inference()
+
     # ---- north-star projection ----------------------------------------
     preproc_hours = (S3DIS_RAW_POINTS_M * preproc_sec_per_1m
                      / ASSUMED_CORES) / 3600.0
@@ -358,6 +415,17 @@ def main():
                 round(mfu_pct, 3) if mfu_pct is not None else None),
             'inference_voxel_points_per_sec': round(
                 n_points_fwd / fwd_sec, 1),
+            # end-to-end raw-cloud inference (VERDICT r2 item 4;
+            # reference headline 1.78M raw pts/s incl. partition)
+            'e2e_inference_raw_points_per_sec': (
+                e2e['raw_points_per_sec']),
+            'e2e_inference_points': e2e['n_raw_points'],
+            'e2e_inference_sec': e2e['e2e_sec'],
+            'e2e_inference_timings_sec': e2e['timings_sec'],
+            'e2e_inference_n_voxels': e2e['n_voxels'],
+            'e2e_inference_n_tiles': e2e['n_tiles'],
+            'e2e_projected_raw_points_per_sec_16core': (
+                e2e['projected_raw_points_per_sec_cores']),
             'train_params_finite': True,
         },
     }))

@@ -87,6 +87,8 @@ def dense_attention_pallas(q, k, v, nbr_mask, scale, block_n=None):
     if block_n is None:
         block_n = _auto_block_n(K, H, D, C, q_has_k)
     block_n = min(block_n, N)
+    while block_n > 128 and N % block_n != 0:
+        block_n -= 128  # pow2_fine capacities: any 128-multiple
     assert N % block_n == 0 and block_n % 128 == 0, (N, block_n)
     assert K % 8 == 0, f'K={K} must be 8-divisible (pad the slots)'
 
@@ -278,6 +280,11 @@ def dense_attention_rpe_pallas(q_node, k_nodes_g, v_nodes_g, ef,
         while block_n > 128 and 2 * block_n * per_node > (10 << 20):
             block_n //= 2
     block_n = min(block_n, N)
+    # N is a pow2_fine capacity (any multiple of 128, e.g. 640): the
+    # grid needs block_n | N, so drop to the largest 128-multiple
+    # divisor (128 always divides the padded capacities)
+    while block_n > 128 and N % block_n != 0:
+        block_n -= 128
     assert N % block_n == 0 and block_n % 128 == 0, (N, block_n)
 
     dt = k_nodes_g.dtype
@@ -502,6 +509,8 @@ def dense_attention_rpe_bwd_pallas(q_node, k_nodes_g, v_nodes_g, ef,
         while block_n > 128 and 2 * block_n * per_node > (11 << 20):
             block_n //= 2
     block_n = min(block_n, N)
+    while block_n > 128 and N % block_n != 0:
+        block_n -= 128  # pow2_fine capacities: any 128-multiple
     assert N % block_n == 0 and block_n % 128 == 0, (N, block_n)
 
     dt = k_nodes_g.dtype

@@ -1,6 +1,6 @@
 from . import runtime
 from .runtime import *
-from .prepare import BatchConfig, prepare_batch
+from .prepare import BatchConfig, prepare_batch, discover_caps
 from . import preprocess
 from .preprocess import preprocess_cloud
 from . import color
