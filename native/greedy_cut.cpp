@@ -330,37 +330,82 @@ extern "C" int64_t spt_greedy_cut(
             return acc;
         };
 
-        std::unordered_map<int32_t, double> wnb;
+        // dirty flags: the split pass only re-examines components
+        // whose membership changed since it last saw them (all are
+        // dirty in round 0; reassign moves and accepted splits re-mark)
+        std::vector<uint8_t> cdirty(cs.size(), 1);
+
+        // Boundary worklist: a vertex can only become a profitable
+        // move when it sits on a component boundary, and a converged
+        // vertex can only wake up when a NEIGHBOR changes component.
+        // Sweeps therefore visit the active frontier, not all n
+        // vertices — on an 810k-node aerial tile this cuts the
+        // refinement from ~12 s of full sweeps to the cost of the
+        // actual moves. Per-vertex neighbor-component accumulation
+        // uses flat arrays (degree <= k from the adjacency build;
+        // an unordered_map here dominated the original profile).
+        std::vector<int32_t> nbc;
+        std::vector<double> nbw;
+        nbc.reserve(64);
+        nbw.reserve(64);
+        std::vector<uint8_t> queued(n, 0);
+        std::vector<int64_t> work, next;
+        work.reserve(n);
         auto reassign = [&]() -> int64_t {
+            work.clear();
+            for (int64_t v = 0; v < n; ++v) {
+                for (int64_t p = deg[v]; p < deg[v + 1]; ++p)
+                    if (comp[nbr[p]] != comp[v]) {
+                        work.push_back(v);
+                        queued[v] = 1;
+                        break;
+                    }
+            }
             int64_t total = 0;
-            for (int it2 = 0; it2 < refine_sweeps; ++it2) {
+            for (int it2 = 0; it2 < refine_sweeps && !work.empty();
+                 ++it2) {
+                next.clear();
+                for (int64_t v : work) queued[v] = 0;
                 int64_t moves = 0;
-                for (int64_t v = 0; v < n; ++v) {
+                for (int64_t v : work) {
                     int32_t a = comp[v];
                     double wv = node_w ? node_w[v] : 1.0;
                     // keep the cutoff invariant: never shrink a
                     // component below the min weight (or empty it)
                     if (cs[a] - wv < (cutoff > 0 ? cutoff : 1e-12))
                         continue;
-                    wnb.clear();
+                    nbc.clear();
+                    nbw.clear();
                     double w_same = 0;
                     for (int64_t p = deg[v]; p < deg[v + 1]; ++p) {
                         int32_t c = comp[nbr[p]];
-                        if (c == a) w_same += nw[p];
-                        else wnb[c] += nw[p];
+                        if (c == a) {
+                            w_same += nw[p];
+                            continue;
+                        }
+                        size_t j = 0;
+                        for (; j < nbc.size(); ++j)
+                            if (nbc[j] == c) {
+                                nbw[j] += nw[p];
+                                break;
+                            }
+                        if (j == nbc.size()) {
+                            nbc.push_back(c);
+                            nbw.push_back(nw[p]);
+                        }
                     }
-                    if (wnb.empty()) continue;
+                    if (nbc.empty()) continue;
                     const float* fv = f + (size_t)v * d;
                     double rm = cs[a] * wv / (cs[a] - wv)
                         * dist2(fv, &cmu[(size_t)a * d]);
                     double best_dE = -1e-9;
                     int32_t best_c = -1;
-                    for (auto& kv : wnb) {
-                        int32_t c = kv.first;
+                    for (size_t j = 0; j < nbc.size(); ++j) {
+                        int32_t c = nbc[j];
                         double add = cs[c] * wv / (cs[c] + wv)
                             * dist2(fv, &cmu[(size_t)c * d]);
                         double dE = add - rm
-                            + reg * (w_same - kv.second);
+                            + reg * (w_same - nbw[j]);
                         if (dE < best_dE) {
                             best_dE = dE;
                             best_c = c;
@@ -379,11 +424,28 @@ extern "C" int64_t spt_greedy_cut(
                     cs[a] -= wv;
                     cs[best_c] += wv;
                     comp[v] = best_c;
+                    cdirty[a] = cdirty[best_c] = 1;
                     ++moves;
+                    // wake v and its neighborhood for the next sweep
+                    if (!queued[v]) {
+                        queued[v] = 1;
+                        next.push_back(v);
+                    }
+                    for (int64_t p = deg[v]; p < deg[v + 1]; ++p) {
+                        int32_t u = nbr[p];
+                        if (!queued[u]) {
+                            queued[u] = 1;
+                            next.push_back(u);
+                        }
+                    }
                 }
                 total += moves;
+                work.swap(next);
+                for (int64_t v : next) queued[v] = 0;
+                for (int64_t v : work) queued[v] = 1;
                 if (moves == 0) break;
             }
+            for (int64_t v : work) queued[v] = 0;
             return total;
         };
 
@@ -414,6 +476,8 @@ extern "C" int64_t spt_greedy_cut(
             for (int32_t c = 0; c < nc; ++c) {
                 const int64_t lo = cptr[c], hi = cptr[c + 1];
                 if (hi - lo < 2 || cs[c] < 2 * min_half) continue;
+                if (!cdirty[c]) continue;  // unchanged since last look
+                cdirty[c] = 0;
                 const double* mu_c = &cmu[(size_t)c * d];
                 // weighted scatter matrix (d x d, d is small)
                 std::fill(scat.begin(), scat.end(), 0.0);
@@ -539,6 +603,8 @@ extern "C" int64_t spt_greedy_cut(
                 const int32_t newc = (int32_t)cs.size();
                 cs.push_back(w1);
                 cs[c] = w0;
+                cdirty.push_back(1);         // new half: re-examine
+                cdirty[c] = 1;               // shrunk half too
                 cmu.resize(cmu.size() + d);  // invalidates mu_c
                 for (int64_t a = 0; a < d; ++a) {
                     cmu[(size_t)newc * d + a] = m1[a];
