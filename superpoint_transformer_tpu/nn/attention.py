@@ -32,13 +32,17 @@ _PALLAS_ENABLED = True
 # route RPE projections through the streaming kernel (True) or
 # materialize them in XLA and use the plain kernel (False) — A/B knob
 _FUSED_RPE_ENABLED = True
+# concatenated single-matmul RPE projections in the XLA path — A/B knob
+_FUSE_RPE_MATMUL = True
 
 
-def set_pallas_attention(flag, fused_rpe=None):
-    global _PALLAS_ENABLED, _FUSED_RPE_ENABLED
+def set_pallas_attention(flag, fused_rpe=None, fuse_rpe_matmul=None):
+    global _PALLAS_ENABLED, _FUSED_RPE_ENABLED, _FUSE_RPE_MATMUL
     _PALLAS_ENABLED = bool(flag)
     if fused_rpe is not None:
         _FUSED_RPE_ENABLED = bool(fused_rpe)
+    if fuse_rpe_matmul is not None:
+        _FUSE_RPE_MATMUL = bool(fuse_rpe_matmul)
 
 
 def qk_scale_from_degree(mode, qk_dim, degree):
@@ -105,6 +109,10 @@ class SelfAttentionBlock(nn.Module):
     # this mesh axis; nbr_idx then holds GLOBAL slots
     # (device * capacity + local slot) — see parallel/shard_nag.py
     shard_axis: Optional[str] = None
+    # A/B knob: run the three RPE projections as one concatenated
+    # matmul in the XLA path (same params, same math — equivalence
+    # pinned by tests/test_train.py)
+    fuse_rpe_matmul: bool = True
 
     @nn.compact
     def __call__(self, x, nbr_idx, nbr_mask, edge_feat=None, train=True,
@@ -249,7 +257,39 @@ class SelfAttentionBlock(nn.Module):
 
         if edge_feat is not None:
             edge_feat = edge_feat.astype(dt)
-        if self.k_rpe and edge_feat is not None:
+
+        # flagship RPE configuration (independent k/q/v encoders): run
+        # the three projections as ONE [N*K, De] @ [De, 2*DH+C] matmul
+        # (param tree unchanged — the separate k_rpe/q_rpe/v_rpe Dense
+        # modules are registered and their kernels concatenated), so
+        # forward and backward each dispatch one MXU op instead of
+        # three small ones
+        rpe_fused_done = (
+            self.fuse_rpe_matmul and _FUSE_RPE_MATMUL
+            and edge_feat is not None and self.k_rpe and self.q_rpe
+            and self.v_rpe and not self.qk_share_rpe
+            and not self.q_on_minus_rpe
+            and not self.heads_share_rpe)
+        if rpe_fused_done:
+            dummy = jnp.zeros((1, edge_feat.shape[-1]), dt)
+            wb = []
+            for nm, dim_out in (('k_rpe', DH), ('q_rpe', DH),
+                                ('v_rpe', C)):
+                enc = nn.Dense(dim_out, dtype=dt,
+                               kernel_init=xavier_uniform_gain(),
+                               name=nm)
+                enc(dummy)
+                wb.append((enc.variables['params']['kernel'],
+                           enc.variables['params']['bias']))
+            w_cat = jnp.concatenate(
+                [w for w, _ in wb], axis=1).astype(dt)
+            b_cat = jnp.concatenate(
+                [b for _, b in wb]).astype(dt)
+            r = edge_feat @ w_cat + b_cat        # [N, K, 2*DH + C]
+            k = k + r[..., :DH].reshape(N, K, H, D)
+            q = q[:, None] + r[..., DH:2 * DH].reshape(N, K, H, D)
+            v = v + r[..., 2 * DH:].reshape(N, K, H, C // H)
+        elif self.k_rpe and edge_feat is not None:
             k_enc = nn.Dense(rpe_dim, dtype=dt,
                              kernel_init=xavier_uniform_gain(),
                              name='k_rpe')
@@ -258,13 +298,13 @@ class SelfAttentionBlock(nn.Module):
                 ef = -edge_feat if self.q_on_minus_rpe else edge_feat
                 q = q[:, None] + expand_heads(k_enc(ef))
         if self.q_rpe and not (self.k_rpe and self.qk_share_rpe) \
-                and edge_feat is not None:
+                and edge_feat is not None and not rpe_fused_done:
             ef = -edge_feat if self.q_on_minus_rpe else edge_feat
             q_enc = nn.Dense(rpe_dim, dtype=dt,
                              kernel_init=xavier_uniform_gain(),
                              name='q_rpe')
             q = q[:, None] + expand_heads(q_enc(ef))
-        if self.v_rpe and edge_feat is not None:
+        if self.v_rpe and edge_feat is not None and not rpe_fused_done:
             v_rpe_dim = C // H if self.heads_share_rpe else C
             r = nn.Dense(v_rpe_dim, dtype=dt,
                          kernel_init=xavier_uniform_gain(),

@@ -51,11 +51,71 @@ def _is_transformer_param(path):
         or 'down_pool_block' in joined
 
 
+def flatten_by_group(transforms_by_label, labels):
+    """Run each labelled transform over ONE flat concatenated vector
+    instead of ~200 small leaves (elementwise transforms like AdamW are
+    exactly equivalent on the concatenation). The flagship model's
+    param tree has hundreds of tiny tensors; per-leaf AdamW lowers to
+    hundreds of small fused kernels whose fixed launch cost dominates
+    the optimizer update on TPU — per-group flat vectors reduce it to
+    a few kernels, with the final per-leaf updates recovered by slices
+    (which XLA fuses into the param adds).
+    """
+    import jax.numpy as jnp
+
+    # only groups with members: empty groups would put zero-size
+    # arrays in the optimizer state, which orbax refuses to save
+    present = set(jax.tree_util.tree_leaves(labels))
+    groups = [g for g in transforms_by_label if g in present]
+
+    def group_meta(tree):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        lab = jax.tree_util.tree_leaves(labels)
+        assert len(lab) == len(leaves)
+        return leaves, treedef, lab
+
+    def flatten(tree):
+        leaves, _, lab = group_meta(tree)
+        return {g: jnp.concatenate(
+            [l.reshape(-1) for l, gl in zip(leaves, lab) if gl == g])
+            for g in groups}
+
+    def unflatten(flat, like):
+        leaves, treedef, lab = group_meta(like)
+        offs = {g: 0 for g in groups}
+        out = []
+        for l, g in zip(leaves, lab):
+            n = l.size
+            seg = flat[g][offs[g]:offs[g] + n]
+            out.append(seg.reshape(l.shape).astype(l.dtype))
+            offs[g] += n
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    def init(params):
+        fp = flatten(params)
+        return {g: transforms_by_label[g].init(fp[g]) for g in groups}
+
+    def update(updates, state, params=None):
+        fu = flatten(updates)
+        fp = flatten(params) if params is not None else \
+            {g: None for g in groups}
+        new_state, fo = {}, {}
+        for g in groups:
+            fo[g], new_state[g] = transforms_by_label[g].update(
+                fu[g], state[g], fp[g])
+        return unflatten(fo, updates), new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(lr=0.01, weight_decay=1e-4, transformer_lr_scale=0.1,
                    total_steps=100_000, num_warmup_steps=2_000,
-                   warmup_init_lr=1e-6, eta_min=1e-6, params=None):
+                   warmup_init_lr=1e-6, eta_min=1e-6, params=None,
+                   flatten=True):
     """AdamW with cosine-warmup schedule; attention parameters run at
-    `transformer_lr_scale * lr` (reference semantic.py:1245-1268)."""
+    `transformer_lr_scale * lr` (reference semantic.py:1245-1268).
+    With `flatten` (default) each LR group's AdamW runs on one flat
+    concatenated vector (identical math, far fewer TPU kernels)."""
     base_sched = cosine_with_warmup(
         lr, total_steps, num_warmup_steps,
         warmup_init_lr=warmup_init_lr, eta_min=eta_min)
@@ -72,9 +132,11 @@ def make_optimizer(lr=0.01, weight_decay=1e-4, transformer_lr_scale=0.1,
     labels = jax.tree_util.tree_map_with_path(
         lambda path, _: 'transformer' if _is_transformer_param(path)
         else 'base', params)
-    return optax.multi_transform(
-        {'base': adamw(base_sched), 'transformer': adamw(tr_sched)},
-        labels)
+    transforms = {'base': adamw(base_sched),
+                  'transformer': adamw(tr_sched)}
+    if flatten:
+        return flatten_by_group(transforms, labels)
+    return optax.multi_transform(transforms, labels)
 
 
 def _with_warmup(lr, body, num_warmup_steps, warmup_init_lr=1e-6,

@@ -61,7 +61,8 @@ def worker_main(coordinator: str, num_processes: int, process_id: int,
     import jax
     jax.distributed.initialize(coordinator, num_processes=num_processes,
                                process_id=process_id)
-    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
+    # no persistent compilation cache here: XLA:CPU AOT cache entries
+    # don't reload safely in this image (see tests/conftest.py)
 
     from __graft_entry__ import _make_batch, _make_model
     from ..models.semantic import SemanticTask

@@ -8,6 +8,12 @@ __all__ = ['setup_jax']
 
 
 def setup_jax(cache_dir=None):
+    if jax.default_backend() == 'cpu':
+        # XLA:CPU AOT cache entries are stamped with compile-machine
+        # features that fail the loader's host check in this image
+        # (SIGILL/SIGSEGV on reload) — persistent caching is
+        # TPU/GPU-only. See tests/conftest.py.
+        return
     cache_dir = cache_dir or os.environ.get(
         'SPT_JAX_CACHE', '/tmp/jax_cache')
     os.makedirs(cache_dir, exist_ok=True)

@@ -17,19 +17,16 @@ if 'xla_force_host_platform_device_count' not in flags:
 
 import jax  # noqa: E402
 
-# Persistent compilation cache: repeated test runs skip XLA compiles.
-_CACHE = '/tmp/jax_cache_cpu'
-os.makedirs(_CACHE, exist_ok=True)
-jax.config.update('jax_compilation_cache_dir', _CACHE)
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 0)
-jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
-# sitecustomize (axon) imports jax and can trigger a compile BEFORE
-# this file runs; that latches jax's once-per-process "is the cache
-# used?" check to False (jax._src.compilation_cache.is_cache_used)
-# and silently disables the cache for the whole pytest process. Reset
-# the latch now that the cache dir is configured.
-from jax._src import compilation_cache as _cc  # noqa: E402
-_cc.reset_cache()
+# NO persistent compilation cache on the CPU backend: this image's
+# jaxlib serializes XLA:CPU executables as AOT results stamped with
+# compile-time machine features (+prefer-no-scatter etc.) that do NOT
+# match the loader's host-feature detection — reloading such an entry
+# warns "could lead to execution errors such as SIGILL" and reliably
+# SEGFAULTs the suite partway through (observed at
+# test_dp_train_step_8_devices reading an entry written earlier in the
+# very same run). Cold compiles cost a few extra minutes per run but
+# cannot be poisoned. (The TPU entry points keep their cache —
+# utils/jax_setup.py gates it on the backend.)
 
 import pytest  # noqa: E402
 

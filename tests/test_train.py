@@ -275,3 +275,89 @@ def test_trainer_devices_matches_grad_accumulation(tmp_path):
             np.asarray(a)[mask], np.asarray(b)[mask], rtol=1e-3,
             atol=1e-6, err_msg=jax.tree_util.keystr(pa))
     assert checked > 100  # the comparison actually covered parameters
+
+
+def test_flattened_optimizer_matches_multi_transform():
+    """make_optimizer(flatten=True) runs each LR group's AdamW on one
+    concatenated vector — elementwise math, so updates must match the
+    per-leaf optax.multi_transform reference exactly."""
+    from superpoint_transformer_tpu.optim.lr_scheduler import (
+        make_optimizer)
+
+    model = tiny_model(num_graphs=1)
+    batch = make_batch(train=True)
+    variables = jax.jit(lambda b: model.init(
+        jax.random.PRNGKey(0), b, train=False))(batch)
+    params = variables['params']
+
+    tx_flat = make_optimizer(lr=0.01, total_steps=100,
+                             num_warmup_steps=10, params=params,
+                             flatten=True)
+    tx_ref = make_optimizer(lr=0.01, total_steps=100,
+                            num_warmup_steps=10, params=params,
+                            flatten=False)
+
+    def run(tx):
+        p = params
+        st = tx.init(p)
+        for i in range(3):
+            g = jax.tree_util.tree_map(
+                lambda a: (0.01 * (i + 1)) * jnp_ones_like(a), p)
+            upd, st = tx.update(g, st, p)
+            p = jax.tree_util.tree_map(lambda a, u: a + u, p, upd)
+        return p
+
+    import jax.numpy as jnp
+
+    def jnp_ones_like(a):
+        return jnp.ones_like(a) * (1.0 + jnp.arange(
+            a.size, dtype=a.dtype).reshape(a.shape) * 1e-3)
+
+    pa = run(tx_flat)
+    pb = run(tx_ref)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(pa),
+            jax.tree_util.tree_leaves_with_path(pb)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_fused_rpe_matmul_matches_separate_encoders():
+    """The single concatenated RPE matmul (attention.py fuse_rpe_matmul)
+    is numerically equivalent to the three separate k/q/v Dense
+    encoders, with an identical param tree."""
+    import jax.numpy as jnp
+    from superpoint_transformer_tpu.nn.attention import (
+        SelfAttentionBlock)
+
+    N, K, H, D, C, De = 16, 8, 4, 4, 32, 18
+    kw = dict(dim=C, num_heads=H, qk_dim=D, in_rpe_dim=De,
+              k_rpe=True, q_rpe=True, v_rpe=True, use_pallas=False)
+    blk_f = SelfAttentionBlock(fuse_rpe_matmul=True, **kw)
+    blk_s = SelfAttentionBlock(fuse_rpe_matmul=False, **kw)
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(N, C)), jnp.float32)
+    nbr_idx = jnp.asarray(rng.integers(0, N, (N, K)))
+    nbr_mask = jnp.asarray(rng.random((N, K)) < 0.8)
+    ef = jnp.asarray(rng.normal(size=(N, K, De)), jnp.float32)
+
+    vf = blk_f.init(jax.random.PRNGKey(0), x, nbr_idx, nbr_mask,
+                    edge_feat=ef, train=False)
+    vs = blk_s.init(jax.random.PRNGKey(0), x, nbr_idx, nbr_mask,
+                    edge_feat=ef, train=False)
+    # identical param trees (same module names, same shapes)
+    fa = jax.tree_util.tree_leaves_with_path(vf)
+    fb = jax.tree_util.tree_leaves_with_path(vs)
+    assert [jax.tree_util.keystr(p) for p, _ in fa] \
+        == [jax.tree_util.keystr(p) for p, _ in fb]
+    for (_, a), (_, b) in zip(fa, fb):
+        assert a.shape == b.shape
+
+    out_f = blk_f.apply(vf, x, nbr_idx, nbr_mask, edge_feat=ef,
+                        train=False)
+    out_s = blk_s.apply(vf, x, nbr_idx, nbr_mask, edge_feat=ef,
+                        train=False)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s),
+                               rtol=1e-5, atol=1e-6)
