@@ -30,6 +30,20 @@ def main(only=()):
     from superpoint_transformer_tpu.models.semantic import SemanticTask
     from __graft_entry__ import _make_model
 
+    # fresh-process A/B knobs (the relay's dispatch degrades after a
+    # process's first device reads, so in-process A/B loops are
+    # unreliable — compare FIRST measurements of separate processes)
+    if os.environ.get('SPT_PROF_FUSE_RPE') == '0':
+        from superpoint_transformer_tpu.nn.attention import (
+            set_pallas_attention)
+        set_pallas_attention(True, fuse_rpe_matmul=False)
+        print('[knob] fuse_rpe_matmul=False')
+    if os.environ.get('SPT_PROF_FLAT_OPT') == '0':
+        import superpoint_transformer_tpu.models.semantic as _sem
+        from superpoint_transformer_tpu.optim import lr_scheduler as _l
+        _sem.make_optimizer = partial(_l.make_optimizer, flatten=False)
+        print('[knob] optimizer flatten=False')
+
     demo = '/root/reference/notebooks/demo_nag_v3.h5'
     nag = NAG.load(demo, non_fp_to_long=True, rgb_to_float=True)
     cfg = BatchConfig()
