@@ -196,6 +196,10 @@ def _bench_e2e_inference():
     data, _ = synthetic_aerial_cloud(
         seed=0, n_points=n, extent=(ex, ey),
         n_buildings=max(6, int(area // 2500)))
+    # the generator fills part budgets with int-floored / min-guarded
+    # counts, so the realized size differs slightly from the request —
+    # all throughput math below uses the REAL count
+    n = int(data.num_nodes)
     model = SemanticSegmentationModel(net=_make_model(num_graphs=1),
                                       num_classes=13)
     variables = jax.jit(model.init, static_argnames=('train',))(
