@@ -60,31 +60,42 @@ def flatten_by_group(transforms_by_label, labels):
     the optimizer update on TPU — per-group flat vectors reduce it to
     a few kernels, with the final per-leaf updates recovered by slices
     (which XLA fuses into the param adds).
+
+    Leaves are sub-grouped by (label, dtype) — state keys look like
+    'base:float32' — because concatenating a mixed-dtype group would
+    silently promote every leaf to the widest dtype and run the
+    moments/updates at the promoted precision.
+
+    NOTE: the opt_state pytree differs from optax.multi_transform's
+    (a {label:dtype -> optax state on one flat vector} dict instead of
+    MultiTransformState over the param tree), so checkpoints saved
+    with flatten=False cannot be restored into a flatten=True
+    optimizer or vice versa — pass the same `flatten` used at save
+    time to make_optimizer when resuming.
     """
     import jax.numpy as jnp
 
-    # only groups with members: empty groups would put zero-size
-    # arrays in the optimizer state, which orbax refuses to save
-    present = set(jax.tree_util.tree_leaves(labels))
-    groups = [g for g in transforms_by_label if g in present]
-
+    # sub-group keys derived from the actual leaves, so groups are
+    # never empty (empty groups would put zero-size arrays in the
+    # optimizer state, which orbax refuses to save)
     def group_meta(tree):
         leaves, treedef = jax.tree_util.tree_flatten(tree)
         lab = jax.tree_util.tree_leaves(labels)
         assert len(lab) == len(leaves)
-        return leaves, treedef, lab
+        keys = [f'{g}:{l.dtype}' for g, l in zip(lab, leaves)]
+        return leaves, treedef, keys, list(dict.fromkeys(keys))
 
     def flatten(tree):
-        leaves, _, lab = group_meta(tree)
+        leaves, _, keys, groups = group_meta(tree)
         return {g: jnp.concatenate(
-            [l.reshape(-1) for l, gl in zip(leaves, lab) if gl == g])
+            [l.reshape(-1) for l, kl in zip(leaves, keys) if kl == g])
             for g in groups}
 
     def unflatten(flat, like):
-        leaves, treedef, lab = group_meta(like)
+        leaves, treedef, keys, groups = group_meta(like)
         offs = {g: 0 for g in groups}
         out = []
-        for l, g in zip(leaves, lab):
+        for l, g in zip(leaves, keys):
             n = l.size
             seg = flat[g][offs[g]:offs[g] + n]
             out.append(seg.reshape(l.shape).astype(l.dtype))
@@ -93,16 +104,17 @@ def flatten_by_group(transforms_by_label, labels):
 
     def init(params):
         fp = flatten(params)
-        return {g: transforms_by_label[g].init(fp[g]) for g in groups}
+        return {g: transforms_by_label[g.split(':')[0]].init(fp[g])
+                for g in fp}
 
     def update(updates, state, params=None):
         fu = flatten(updates)
         fp = flatten(params) if params is not None else \
-            {g: None for g in groups}
+            {g: None for g in fu}
         new_state, fo = {}, {}
-        for g in groups:
-            fo[g], new_state[g] = transforms_by_label[g].update(
-                fu[g], state[g], fp[g])
+        for g in fu:
+            fo[g], new_state[g] = transforms_by_label[
+                g.split(':')[0]].update(fu[g], state[g], fp[g])
         return unflatten(fo, updates), new_state
 
     return optax.GradientTransformation(init, update)
@@ -115,7 +127,9 @@ def make_optimizer(lr=0.01, weight_decay=1e-4, transformer_lr_scale=0.1,
     """AdamW with cosine-warmup schedule; attention parameters run at
     `transformer_lr_scale * lr` (reference semantic.py:1245-1268).
     With `flatten` (default) each LR group's AdamW runs on one flat
-    concatenated vector (identical math, far fewer TPU kernels)."""
+    concatenated vector (identical math, far fewer TPU kernels).
+    `flatten` changes the opt_state pytree — resume checkpoints with
+    the same setting they were saved under (see flatten_by_group)."""
     base_sched = cosine_with_warmup(
         lr, total_steps, num_warmup_steps,
         warmup_init_lr=warmup_init_lr, eta_min=eta_min)

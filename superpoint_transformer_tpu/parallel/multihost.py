@@ -61,8 +61,12 @@ def worker_main(coordinator: str, num_processes: int, process_id: int,
     import jax
     jax.distributed.initialize(coordinator, num_processes=num_processes,
                                process_id=process_id)
-    # no persistent compilation cache here: XLA:CPU AOT cache entries
-    # don't reload safely in this image (see tests/conftest.py)
+    # setup_jax gates the persistent compilation cache on
+    # backend != cpu: the CPU simulation stays cache-free (XLA:CPU AOT
+    # entries don't reload safely in this image, see tests/conftest.py)
+    # while real TPU multihost workers keep compile reuse
+    from ..utils.jax_setup import setup_jax
+    setup_jax()
 
     from __graft_entry__ import _make_batch, _make_model
     from ..models.semantic import SemanticTask

@@ -99,22 +99,12 @@ def main(only=()):
             return leaf_sum(st2.params) * 1e-9 + m['loss'] * 0
         timeit('train_step (full)', body, jnp.float32(0.0))
 
-    if want('stepAB'):
-        # full step with/without the concatenated RPE matmul
-        from superpoint_transformer_tpu.nn.attention import (
-            set_pallas_attention)
-        for fuse in (True, False):
-            set_pallas_attention(True, fuse_rpe_matmul=fuse)
-
-            def body(i, c):
-                st2, m = task.train_step(
-                    state.replace(params=perturb(state.params, c)),
-                    batch,
-                    jax.random.fold_in(jax.random.PRNGKey(0), i))
-                return leaf_sum(st2.params) * 1e-9 + m['loss'] * 0
-            timeit(f'train_step fuse_rpe_matmul={fuse}', body,
-                   jnp.float32(float(fuse) * 1e-7))
-        set_pallas_attention(True, fuse_rpe_matmul=True)
+    # NOTE: there is deliberately no in-process fuse_rpe_matmul A/B —
+    # task.train_step is an already-traced jit whose cache keys on
+    # function identity + avals, not the module-global knob, so the
+    # second leg would silently re-run the first leg's program. A/B
+    # via the env-gated fresh-process knobs above (SPT_PROF_FUSE_RPE,
+    # SPT_PROF_FLAT_OPT) instead.
 
     if want('step8'):
         # batch-size lever: 8 clouds x 4 crops per step (32 crops ==
