@@ -16,7 +16,7 @@ import time
 import numpy as np
 
 __all__ = ['tile_cloud', 'infer_nag', 'e2e_inference',
-           'EVAL_BATCH_OVERRIDES']
+           'strip_for_inference', 'EVAL_BATCH_OVERRIDES']
 
 # whole-tile evaluation: no cropping/subsampling, no augmentation
 EVAL_BATCH_OVERRIDES = dict(sample_graph_r=-1, sample_segment_ratio=0,
@@ -51,13 +51,68 @@ def tile_cloud(data, tiling):
     return tiles
 
 
-def infer_nag(model, variables, nag, cfg, fetch='argmax'):
+def strip_for_inference(batch, compute_dtype=None):
+    """Cut the host->device bytes of an inference batch: drop `y`
+    (loss/metrics-only — the model forward never reads it) and cast
+    the heavy float features (x, edge_feat, v_edge_attr) to the
+    model's compute dtype. Bit-identical when the model computes in
+    bf16: every first consumer casts these inputs to bf16 anyway
+    (nn/mlp.py, nn/attention.py), so the rounding just happens on the
+    host instead of the chip. Positions, node sizes and norms stay
+    fp32."""
+    import dataclasses as dc
+    dt = None
+    if compute_dtype in ('bf16', 'bfloat16'):
+        import jax.numpy as jnp
+        dt = jnp.bfloat16
+    levels = []
+    for lvl in batch.levels:
+        kw = {'y': None}
+        if dt is not None:
+            for f in ('x', 'edge_feat', 'v_edge_attr'):
+                v = getattr(lvl, f)
+                if v is not None:
+                    kw[f] = np.asarray(v).astype(dt)
+        levels.append(lvl.replace(**kw))
+    return dc.replace(batch, levels=tuple(levels))
+
+
+def _sync_probe(batch):
+    """Force a device_put to complete through the relay: fetch one
+    scalar that depends on every leaf (device_put returns before the
+    transfer drains; without this the remaining transfer time lands in
+    whatever device call runs next)."""
+    import jax
+    import jax.numpy as jnp
+    if 'sync' not in _JIT_CACHE:
+        def probe(b):
+            tot = jnp.float32(0.0)
+            for leaf in jax.tree_util.tree_leaves(b):
+                tot = tot + leaf.reshape(-1)[0].astype(jnp.float32)
+            return tot
+        _JIT_CACHE['sync'] = jax.jit(probe)
+    float(_JIT_CACHE['sync'](batch))
+
+
+def infer_nag(model, variables, nag, cfg, fetch='argmax', timings=None):
     """Whole-tile forward on a preprocessed NAG: returns the level-1
     prediction (host numpy). `cfg` should carry pinned node_caps/k_caps
-    so repeated tiles share one compiled program."""
+    so repeated tiles share one compiled program. When `timings` (a
+    dict) is given, the host->device transfer seconds accumulate under
+    'transfer' — through the dev relay the transfer dominates and must
+    be reported separately from compute."""
     import jax
     from .transforms import prepare_batch
-    batch = prepare_batch([nag], cfg, train=False)
+    batch = prepare_batch([nag], cfg, train=False, device=False)
+    batch = strip_for_inference(
+        batch, getattr(getattr(model, 'net', None), 'compute_dtype',
+                       None))
+    t0 = time.perf_counter()
+    batch = jax.device_put(batch)
+    if timings is not None:
+        _sync_probe(batch)
+        timings['transfer'] = (timings.get('transfer', 0.0)
+                               + time.perf_counter() - t0)
     logits = _jit_forward(model)(variables, batch)
     n1 = int(nag[1].num_nodes)
     if fetch == 'argmax':
@@ -156,8 +211,11 @@ def e2e_inference(model, variables, data, pre_cfg=None, batch_cfg=None,
         t['warmup_compile'] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    preds1 = [infer_nag(model, variables, nag, cfg) for nag in nags]
-    t['forward'] = time.perf_counter() - t0
+    tt = {}
+    preds1 = [infer_nag(model, variables, nag, cfg, timings=tt)
+              for nag in nags]
+    t['transfer'] = tt.get('transfer', 0.0)
+    t['forward'] = time.perf_counter() - t0 - t['transfer']
 
     t0 = time.perf_counter()
     out = np.empty(n_raw, dtype=np.int32)
@@ -176,6 +234,11 @@ def e2e_inference(model, variables, data, pre_cfg=None, batch_cfg=None,
     info['timings_sec'] = {k: round(v, 3) for k, v in t.items()}
     info['e2e_sec'] = round(timed, 3)
     info['raw_points_per_sec'] = round(n_raw / timed, 1)
+    # the dev relay transfers host->device at ~10 MB/s (vs tens of
+    # GB/s for a production PCIe/DMA path) — report the rate with the
+    # transfer excluded so the device+host pipeline is visible
+    info['raw_points_per_sec_ex_transfer'] = round(
+        n_raw / max(timed - t['transfer'], 1e-9), 1)
     if verbose:
         print(info, flush=True)
     return out, info

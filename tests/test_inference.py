@@ -42,6 +42,33 @@ def test_tile_cloud_partitions_rows(small_cloud):
 
 
 @pytest.mark.slow
+def test_strip_for_inference_identical_logits(flagship):
+    """Dropping y and host-casting x/edge_feat/v_edge_attr to the
+    model's compute dtype must be BIT-identical: y never enters the
+    forward, and every first consumer casts those inputs to bf16
+    anyway (nn/mlp.py, nn/attention.py) — the rounding just moves from
+    chip to host."""
+    import dataclasses
+    import jax
+    from superpoint_transformer_tpu.utils.synthetic import random_nag
+    from superpoint_transformer_tpu.transforms import (
+        BatchConfig, prepare_batch)
+    from superpoint_transformer_tpu.inference import (
+        strip_for_inference, EVAL_BATCH_OVERRIDES)
+    model, variables = flagship
+    nag = random_nag(seed=3, n_points=2048)
+    cfg = dataclasses.replace(BatchConfig(), **EVAL_BATCH_OVERRIDES)
+    batch = prepare_batch([nag], cfg, train=False, device=False)
+    sbatch = strip_for_inference(
+        batch, getattr(model.net, 'compute_dtype', None))
+    assert all(lvl.y is None for lvl in sbatch.levels)
+    f = jax.jit(lambda v, b: model.apply(v, b, train=False))
+    l1 = np.asarray(f(variables, batch)[0])
+    l2 = np.asarray(f(variables, sbatch)[0])
+    np.testing.assert_array_equal(l1, l2)
+
+
+@pytest.mark.slow
 def test_e2e_inference_full_pipeline(small_cloud, flagship):
     from superpoint_transformer_tpu.inference import e2e_inference
     model, variables = flagship
