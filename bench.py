@@ -214,13 +214,13 @@ def _bench_e2e_inference():
                                target_tile_points=600_000)
     assert pred.shape[0] == n
     t = info['timings_sec']
-    # projection: preprocessing is per-tile parallel (datasets/base.py
-    # worker fan-out) -> /assumed_cores; the host->device transfer is
-    # excluded (the dev relay moves ~10 MB/s where production PCIe/DMA
-    # moves tens of GB/s and overlaps compute — see
-    # raw_points_per_sec_ex_transfer in inference.py)
-    proj = (t['preprocess'] / ASSUMED_CORES + t['tile'] + t['pin']
-            + t['forward'] + t['recover'])
+    # projection: preprocessing and batch padding are per-tile
+    # parallel (datasets/base.py worker fan-out) -> /assumed_cores;
+    # the host->device transfer is excluded (the dev relay moves
+    # ~10 MB/s where production PCIe/DMA moves tens of GB/s and
+    # overlaps compute — see raw_points_per_sec_ex_transfer)
+    proj = ((t['preprocess'] + t['pad']) / ASSUMED_CORES + t['tile']
+            + t['pin'] + t['forward'] + t['fetch'] + t['recover'])
     info['projected_raw_points_per_sec_cores'] = round(n / proj, 1)
     return info
 

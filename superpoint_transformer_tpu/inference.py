@@ -98,15 +98,21 @@ def infer_nag(model, variables, nag, cfg, fetch='argmax', timings=None):
     """Whole-tile forward on a preprocessed NAG: returns the level-1
     prediction (host numpy). `cfg` should carry pinned node_caps/k_caps
     so repeated tiles share one compiled program. When `timings` (a
-    dict) is given, the host->device transfer seconds accumulate under
-    'transfer' — through the dev relay the transfer dominates and must
-    be reported separately from compute."""
+    dict) is given, the host batch-padding seconds accumulate under
+    'pad' (feature build + static-capacity padding — per-tile parallel
+    across loader workers in production) and the host->device transfer
+    seconds under 'transfer' (through the dev relay the transfer is
+    ~10 MB/s and must be reported separately from compute)."""
     import jax
     from .transforms import prepare_batch
+    t0 = time.perf_counter()
     batch = prepare_batch([nag], cfg, train=False, device=False)
     batch = strip_for_inference(
         batch, getattr(getattr(model, 'net', None), 'compute_dtype',
                        None))
+    if timings is not None:
+        timings['pad'] = (timings.get('pad', 0.0)
+                          + time.perf_counter() - t0)
     t0 = time.perf_counter()
     batch = jax.device_put(batch)
     if timings is not None:
@@ -115,6 +121,11 @@ def infer_nag(model, variables, nag, cfg, fetch='argmax', timings=None):
                                + time.perf_counter() - t0)
     logits = _jit_forward(model)(variables, batch)
     n1 = int(nag[1].num_nodes)
+    if fetch == 'device':
+        # leave the [cap1] argmax ON DEVICE; the caller fetches all
+        # tiles in one device_get (each read through the degraded
+        # relay costs ~seconds, so per-tile fetches dominate e2e)
+        return _jit_argmax(model)(logits), n1
     if fetch == 'argmax':
         # fetch only the [N1] argmax (smallest possible device read)
         return np.asarray(jax.device_get(
@@ -210,12 +221,23 @@ def e2e_inference(model, variables, data, pre_cfg=None, batch_cfg=None,
         infer_nag(model, variables, nags[0], cfg)
         t['warmup_compile'] = time.perf_counter() - t0
 
+    import jax
+
     t0 = time.perf_counter()
     tt = {}
-    preds1 = [infer_nag(model, variables, nag, cfg, timings=tt)
-              for nag in nags]
+    outs = [infer_nag(model, variables, nag, cfg, timings=tt,
+                      fetch='device') for nag in nags]
+    t['pad'] = tt.get('pad', 0.0)
     t['transfer'] = tt.get('transfer', 0.0)
-    t['forward'] = time.perf_counter() - t0 - t['transfer']
+    t['forward'] = (time.perf_counter() - t0 - t['transfer']
+                    - t['pad'])
+
+    # ONE device->host read for every tile's [cap1] argmax (per-tile
+    # reads through the degraded relay cost ~seconds each)
+    t0 = time.perf_counter()
+    fetched = jax.device_get([a for a, _ in outs])
+    preds1 = [np.asarray(a)[:n1] for a, (_, n1) in zip(fetched, outs)]
+    t['fetch'] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     out = np.empty(n_raw, dtype=np.int32)
