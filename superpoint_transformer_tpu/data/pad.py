@@ -241,13 +241,20 @@ def sort_nag_by_super(nag):
 
 
 def pad_nag(nag, num_classes=None, node_caps=None, k_caps=None,
-            bucket_mode='pow2', with_edges_from=1, device=True):
+            k_in_caps=None, bucket_mode='pow2', with_edges_from=1,
+            device=True):
     """Convert a (batched, sorted, transform-complete) NAG into a
     PaddedNAG of static-capacity jnp arrays.
 
     :param num_classes: for converting int labels to histograms
     :param node_caps: dict level->capacity override (else bucketed)
     :param k_caps: dict level->K override for dense neighbors
+    :param k_in_caps: dict level->K_in override for the transpose
+        neighbor table (max in-degree rounded to 16 otherwise). The
+        in-degree max is data-dependent, so WITHOUT a pin every batch
+        can land on a different K_in and recompile the step — pin it
+        (discover_caps / the e2e shared signature) wherever one
+        compiled program must serve many batches.
     :param with_edges_from: lowest level whose horizontal graph is
         converted to dense neighbors (level 0 has no attention)
     """
@@ -334,7 +341,7 @@ def pad_nag(nag, num_classes=None, node_caps=None, k_caps=None,
             tgt_s, slots_s = tgt[order], slots[order]
             deg_in = np.bincount(tgt_s, minlength=cap)
             k_in = int(max(_round_up(int(deg_in.max(initial=0)), 16),
-                           16))
+                           16, (k_in_caps or {}).get(i, 0)))
             in_idx = np.zeros((cap, k_in), dtype=np.int32)
             in_mask = np.zeros((cap, k_in), dtype=bool)
             starts = np.zeros(cap + 1, dtype=np.int64)

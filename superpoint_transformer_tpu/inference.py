@@ -15,8 +15,9 @@ import time
 
 import numpy as np
 
-__all__ = ['tile_cloud', 'infer_nag', 'e2e_inference',
-           'strip_for_inference', 'EVAL_BATCH_OVERRIDES']
+__all__ = ['tile_cloud', 'infer_nag', 'infer_nags_stacked',
+           'e2e_inference', 'strip_for_inference',
+           'EVAL_BATCH_OVERRIDES']
 
 # whole-tile evaluation: no cropping/subsampling, no augmentation
 EVAL_BATCH_OVERRIDES = dict(sample_graph_r=-1, sample_segment_ratio=0,
@@ -155,6 +156,102 @@ def _jit_argmax(model):
     return _JIT_CACHE[key]
 
 
+def _jit_scan_forward(model):
+    """ONE jitted computation running the model over a stack of
+    same-signature tile batches via `lax.scan`: one dispatch, one
+    executable, one device read for the whole cloud. Per-tile jit
+    calls pay the runtime's per-dispatch cost T times (and a shape
+    drift — e.g. an unpinned K_in — pays T compiles); the scan pays
+    both once. Returns ([T, cap1] int8 argmax preds, sync scalar)."""
+    import jax
+    import jax.numpy as jnp
+    key = (id(model), 'scan_fwd')
+    if key not in _JIT_CACHE:
+        def run(v, stacked):
+            def body(carry, b):
+                logits = model.apply(v, b, train=False)
+                pred = jnp.argmax(logits[0], -1).astype(jnp.int8)
+                return carry, pred
+            _, preds = jax.lax.scan(body, jnp.int32(0), stacked)
+            sync = jnp.sum(preds.astype(jnp.int32)).astype(jnp.float32)
+            return preds, sync
+        _JIT_CACHE[key] = jax.jit(run)
+    return _JIT_CACHE[key]
+
+
+def stack_batches(batches):
+    """Stack same-signature PaddedNAG batches along a new leading tile
+    axis (host-side numpy; shapes must match exactly — pin node_caps /
+    k_caps / k_in_caps first)."""
+    import jax
+    return jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches)
+
+
+def infer_nags_stacked(model, variables, nags, cfg, timings=None,
+                       warmup=False):
+    """Whole-cloud forward over preprocessed tiles in ONE device
+    program: host-pad each tile to the shared signature, stack, one
+    device_put, one scanned forward, one device read.
+
+    Returns a list of per-tile [N1] int argmax predictions (host).
+    When `timings` is a dict, accumulates 'pad', 'transfer',
+    'forward', 'fetch' (and 'warmup_compile' if warmup=True) seconds.
+    """
+    import jax
+    import jax.numpy as jnp
+    from .transforms import prepare_batch
+
+    t = timings if timings is not None else {}
+
+    t0 = time.perf_counter()
+    dt = getattr(getattr(model, 'net', None), 'compute_dtype', None)
+    batches = []
+    for nag in nags:
+        b = prepare_batch([nag], cfg, train=False, device=False)
+        batches.append(strip_for_inference(b, dt))
+    stacked = stack_batches(batches)
+    t['pad'] = t.get('pad', 0.0) + time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    stacked = jax.device_put(stacked)
+    _sync_probe(stacked)
+    t['transfer'] = t.get('transfer', 0.0) + time.perf_counter() - t0
+
+    run = _jit_scan_forward(model)
+    if warmup:
+        # compile + first execution outside the clock (disk-cached
+        # across runs; steady-state serving never pays it). The timed
+        # call below uses perturbed params so the warmup result cannot
+        # be served back from a runtime-level call cache.
+        t0 = time.perf_counter()
+        preds_w, sync_w = run(variables, stacked)
+        float(sync_w)
+        t['warmup_compile'] = (t.get('warmup_compile', 0.0)
+                               + time.perf_counter() - t0)
+        if 'perturb' not in _JIT_CACHE:
+            # multiplicative so the change survives fp32 rounding
+            # (bit-identical args could be served from a call cache);
+            # 1e-6 relative is way below any decision boundary that
+            # matters for an argmax over logits
+            _JIT_CACHE['perturb'] = jax.jit(
+                lambda v: jax.tree_util.tree_map(
+                    lambda a: a * jnp.asarray(1.0 + 1e-6, a.dtype)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a, v))
+        variables = _JIT_CACHE['perturb'](variables)
+
+    t0 = time.perf_counter()
+    preds, sync = run(variables, stacked)
+    float(sync)  # the one true device sync
+    t['forward'] = t.get('forward', 0.0) + time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    fetched = np.asarray(jax.device_get(preds))  # [T, cap1] int8
+    t['fetch'] = t.get('fetch', 0.0) + time.perf_counter() - t0
+    return [fetched[i, :int(nag[1].num_nodes)].astype(np.int32)
+            for i, nag in enumerate(nags)]
+
+
 def e2e_inference(model, variables, data, pre_cfg=None, batch_cfg=None,
                   tiling=None, target_tile_points=1_500_000,
                   warmup=True, verbose=False):
@@ -199,10 +296,13 @@ def e2e_inference(model, variables, data, pre_cfg=None, batch_cfg=None,
     t['preprocess'] = time.perf_counter() - t0
     info['n_voxels'] = int(sum(n[0].num_nodes for n in nags))
 
-    # one shared padded signature across all tiles
+    # one shared padded signature across all tiles: node capacities,
+    # neighbor K, AND the transpose-table K_in (data-dependent max
+    # in-degree — without the pin each tile can land on a different
+    # K_in and force a fresh XLA compile per tile)
     t0 = time.perf_counter()
     cfg = dataclasses.replace(batch_cfg, **EVAL_BATCH_OVERRIDES)
-    node_caps, k_caps = {}, {}
+    node_caps, k_caps, k_in_caps = {}, {}, {}
     for nag in nags:
         probe = prepare_batch([nag], cfg, train=False, device=False)
         for i, lvl in enumerate(probe.levels):
@@ -211,33 +311,20 @@ def e2e_inference(model, variables, data, pre_cfg=None, batch_cfg=None,
             if lvl.nbr_idx is not None:
                 k_caps[li] = max(k_caps.get(li, 0),
                                  lvl.nbr_idx.shape[1])
+            if lvl.nbr_in_idx is not None:
+                k_in_caps[li] = max(k_in_caps.get(li, 0),
+                                    lvl.nbr_in_idx.shape[1])
         del probe
     cfg = dataclasses.replace(cfg, node_caps=node_caps,
-                              k_caps=k_caps or None)
+                              k_caps=k_caps or None,
+                              k_in_caps=k_in_caps or None)
     t['pin'] = time.perf_counter() - t0
 
-    if warmup:  # compile (+ first-dispatch stall) outside the clock
-        t0 = time.perf_counter()
-        infer_nag(model, variables, nags[0], cfg)
-        t['warmup_compile'] = time.perf_counter() - t0
-
-    import jax
-
-    t0 = time.perf_counter()
-    tt = {}
-    outs = [infer_nag(model, variables, nag, cfg, timings=tt,
-                      fetch='device') for nag in nags]
-    t['pad'] = tt.get('pad', 0.0)
-    t['transfer'] = tt.get('transfer', 0.0)
-    t['forward'] = (time.perf_counter() - t0 - t['transfer']
-                    - t['pad'])
-
-    # ONE device->host read for every tile's [cap1] argmax (per-tile
-    # reads through the degraded relay cost ~seconds each)
-    t0 = time.perf_counter()
-    fetched = jax.device_get([a for a, _ in outs])
-    preds1 = [np.asarray(a)[:n1] for a, (_, n1) in zip(fetched, outs)]
-    t['fetch'] = time.perf_counter() - t0
+    # all tiles in ONE device program (pad+stack, one transfer, one
+    # scanned forward, one [T, cap1] fetch) — per-tile dispatch through
+    # a runtime pays its per-call cost T times
+    preds1 = infer_nags_stacked(model, variables, nags, cfg,
+                                timings=t, warmup=warmup)
 
     t0 = time.perf_counter()
     out = np.empty(n_raw, dtype=np.int32)

@@ -59,6 +59,7 @@ class BatchConfig:
     # padding
     node_caps: Optional[Dict[int, int]] = None
     k_caps: Optional[Dict[int, int]] = None
+    k_in_caps: Optional[Dict[int, int]] = None
     bucket_mode: str = 'pow2_fine'
     nano: bool = False
 
@@ -164,6 +165,7 @@ def prepare_batch(nag_list, cfg: BatchConfig, train=True, rng=None,
     big = batch_nags(processed)
     return pad_nag(big, num_classes=cfg.num_classes,
                    node_caps=cfg.node_caps, k_caps=cfg.k_caps,
+                   k_in_caps=cfg.k_in_caps,
                    bucket_mode=cfg.bucket_mode, device=device)
 
 
@@ -180,7 +182,7 @@ def discover_caps(nag_lists, cfg: BatchConfig, train=True, rng=None,
     """
     import dataclasses
     rng = rng or np.random.default_rng(0)
-    node_caps, k_caps = {}, {}
+    node_caps, k_caps, k_in_caps = {}, {}, {}
     for nags in nag_lists:
         b = prepare_batch(list(nags), cfg, train=train, rng=rng)
         for i, lvl in enumerate(b.levels):
@@ -189,10 +191,19 @@ def discover_caps(nag_lists, cfg: BatchConfig, train=True, rng=None,
             if lvl.nbr_idx is not None:
                 k_caps[li] = max(k_caps.get(li, 0),
                                  lvl.nbr_idx.shape[1])
+            if lvl.nbr_in_idx is not None:
+                k_in_caps[li] = max(k_in_caps.get(li, 0),
+                                    lvl.nbr_in_idx.shape[1])
     for li in node_caps:
         node_caps[li] <<= headroom_levels
+    # K_in tracks the max observed in-degree, which varies batch to
+    # batch: one 16-slot step of headroom keeps the pinned signature
+    # from recompiling on a slightly-denser future crop
+    for li in k_in_caps:
+        k_in_caps[li] += 16
     return dataclasses.replace(
-        cfg, node_caps=node_caps, k_caps=k_caps or None)
+        cfg, node_caps=node_caps, k_caps=k_caps or None,
+        k_in_caps=k_in_caps or None)
 
 
 def prepare_partition_batch(nag_list, cfg: BatchConfig, train=True,

@@ -69,6 +69,50 @@ def test_strip_for_inference_identical_logits(flagship):
 
 
 @pytest.mark.slow
+def test_stacked_scan_matches_per_tile(small_cloud, flagship):
+    """infer_nags_stacked (one lax.scan program over same-signature
+    tiles) must produce the same argmax predictions as per-tile
+    infer_nag calls — stacking is a dispatch optimization, not a
+    numerical change."""
+    import dataclasses
+    from superpoint_transformer_tpu.inference import (
+        tile_cloud, infer_nag, infer_nags_stacked,
+        EVAL_BATCH_OVERRIDES)
+    from superpoint_transformer_tpu.transforms import (
+        BatchConfig, prepare_batch)
+    from superpoint_transformer_tpu.transforms.preprocess import (
+        preprocess_cloud)
+    model, variables = flagship
+    pre = dict(voxel=0.1, knn=25, knn_r=10.0, knn_min_search=10,
+               pcp_regularization=(0.1, 0.2, 0.3),
+               pcp_spatial_weight=(0.1, 0.01, 0.001),
+               pcp_cutoff=(10, 30, 100), graph_gap=(5.0, 30.0, 30.0))
+    tiles = tile_cloud(small_cloud, (2, 1))
+    nags = [preprocess_cloud(t, **pre) for t, _ in tiles]
+    cfg = dataclasses.replace(BatchConfig(), **EVAL_BATCH_OVERRIDES)
+    node_caps, k_caps, k_in_caps = {}, {}, {}
+    for nag in nags:
+        probe = prepare_batch([nag], cfg, train=False, device=False)
+        for i, lvl in enumerate(probe.levels):
+            li = probe.start_i_level + i
+            node_caps[li] = max(node_caps.get(li, 0), lvl.capacity)
+            if lvl.nbr_idx is not None:
+                k_caps[li] = max(k_caps.get(li, 0),
+                                 lvl.nbr_idx.shape[1])
+            if lvl.nbr_in_idx is not None:
+                k_in_caps[li] = max(k_in_caps.get(li, 0),
+                                    lvl.nbr_in_idx.shape[1])
+    cfg = dataclasses.replace(cfg, node_caps=node_caps,
+                              k_caps=k_caps or None,
+                              k_in_caps=k_in_caps or None)
+    stacked = infer_nags_stacked(model, variables, nags, cfg)
+    for nag, sp in zip(nags, stacked):
+        pp = infer_nag(model, variables, nag, cfg)
+        assert sp.shape == pp.shape == (int(nag[1].num_nodes),)
+        np.testing.assert_array_equal(sp, pp)
+
+
+@pytest.mark.slow
 def test_e2e_inference_full_pipeline(small_cloud, flagship):
     from superpoint_transformer_tpu.inference import e2e_inference
     model, variables = flagship
