@@ -242,7 +242,7 @@ def sort_nag_by_super(nag):
 
 def pad_nag(nag, num_classes=None, node_caps=None, k_caps=None,
             k_in_caps=None, bucket_mode='pow2', with_edges_from=1,
-            device=True):
+            device=True, with_transpose=True):
     """Convert a (batched, sorted, transform-complete) NAG into a
     PaddedNAG of static-capacity jnp arrays.
 
@@ -257,6 +257,11 @@ def pad_nag(nag, num_classes=None, node_caps=None, k_caps=None,
         compiled program must serve many batches.
     :param with_edges_from: lowest level whose horizontal graph is
         converted to dense neighbors (level 0 has no attention)
+    :param with_transpose: build the transpose neighbor tables
+        (nbr_in_idx/nbr_in_mask). They serve ONLY the training
+        backward (nn/attention.py gathers over incoming slots instead
+        of scatter-adding); inference batches skip the build (an
+        argsort over all edges) and the transfer.
     """
     nag = sort_nag_by_super(nag)
     levels = []
@@ -334,23 +339,25 @@ def pad_nag(nag, num_classes=None, node_caps=None, k_caps=None,
             # incoming slots instead of a TPU scatter-add (serial on
             # TPU — the same pathology the one-hot segment reduce
             # fixes for norms); see nn/attention.py gather_nodes.
-            tgt = full_idx[full_mask]
-            slots = np.flatnonzero(full_mask.reshape(-1)).astype(
-                np.int64)
-            order = np.argsort(tgt, kind='stable')
-            tgt_s, slots_s = tgt[order], slots[order]
-            deg_in = np.bincount(tgt_s, minlength=cap)
-            k_in = int(max(_round_up(int(deg_in.max(initial=0)), 16),
-                           16, (k_in_caps or {}).get(i, 0)))
-            in_idx = np.zeros((cap, k_in), dtype=np.int32)
-            in_mask = np.zeros((cap, k_in), dtype=bool)
-            starts = np.zeros(cap + 1, dtype=np.int64)
-            np.cumsum(deg_in, out=starts[1:])
-            rank = np.arange(slots_s.shape[0]) - starts[tgt_s]
-            in_idx[tgt_s, rank] = slots_s
-            in_mask[tgt_s, rank] = True
-            kw['nbr_in_idx'] = in_idx
-            kw['nbr_in_mask'] = in_mask
+            if with_transpose:
+                tgt = full_idx[full_mask]
+                slots = np.flatnonzero(full_mask.reshape(-1)).astype(
+                    np.int64)
+                order = np.argsort(tgt, kind='stable')
+                tgt_s, slots_s = tgt[order], slots[order]
+                deg_in = np.bincount(tgt_s, minlength=cap)
+                k_in = int(max(
+                    _round_up(int(deg_in.max(initial=0)), 16),
+                    16, (k_in_caps or {}).get(i, 0)))
+                in_idx = np.zeros((cap, k_in), dtype=np.int32)
+                in_mask = np.zeros((cap, k_in), dtype=bool)
+                starts = np.zeros(cap + 1, dtype=np.int64)
+                np.cumsum(deg_in, out=starts[1:])
+                rank = np.arange(slots_s.shape[0]) - starts[tgt_s]
+                in_idx[tgt_s, rank] = slots_s
+                in_mask[tgt_s, rank] = True
+                kw['nbr_in_idx'] = in_idx
+                kw['nbr_in_mask'] = in_mask
             ea = d.get('edge_attr')
             if ea is not None:
                 # invalid slots keep whatever edge 0 carries — finite

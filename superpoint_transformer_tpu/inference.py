@@ -54,12 +54,16 @@ def tile_cloud(data, tiling):
 
 def strip_for_inference(batch, compute_dtype=None):
     """Cut the host->device bytes of an inference batch: drop `y`
-    (loss/metrics-only — the model forward never reads it) and cast
-    the heavy float features (x, edge_feat, v_edge_attr) to the
-    model's compute dtype. Bit-identical when the model computes in
-    bf16: every first consumer casts these inputs to bf16 anyway
-    (nn/mlp.py, nn/attention.py), so the rounding just happens on the
-    host instead of the chip. Positions, node sizes and norms stay
+    (loss/metrics-only — the model forward never reads it), drop the
+    transpose neighbor tables `nbr_in_idx`/`nbr_in_mask` (they turn
+    the attention gather's BACKWARD scatter into a gather —
+    nn/attention.py consults them only when train=True, so an
+    inference forward never reads them), and cast the heavy float
+    features (x, edge_feat, v_edge_attr) to the model's compute
+    dtype. Bit-identical when the model computes in bf16: every first
+    consumer casts these inputs to bf16 anyway (nn/mlp.py,
+    nn/attention.py), so the rounding just happens on the host
+    instead of the chip. Positions, node sizes and norms stay
     fp32."""
     import dataclasses as dc
     dt = None
@@ -68,7 +72,7 @@ def strip_for_inference(batch, compute_dtype=None):
         dt = jnp.bfloat16
     levels = []
     for lvl in batch.levels:
-        kw = {'y': None}
+        kw = {'y': None, 'nbr_in_idx': None, 'nbr_in_mask': None}
         if dt is not None:
             for f in ('x', 'edge_feat', 'v_edge_attr'):
                 v = getattr(lvl, f)
@@ -189,10 +193,15 @@ def stack_batches(batches):
 
 
 def infer_nags_stacked(model, variables, nags, cfg, timings=None,
-                       warmup=False):
+                       warmup=False, processed=None):
     """Whole-cloud forward over preprocessed tiles in ONE device
     program: host-pad each tile to the shared signature, stack, one
     device_put, one scanned forward, one device read.
+
+    `processed` optionally carries the tiles' transform-complete
+    batched NAGs (from `process_batch`) so tiles that were already
+    transformed — e.g. to read their padded signature — are only
+    padded here, not re-transformed.
 
     Returns a list of per-tile [N1] int argmax predictions (host).
     When `timings` is a dict, accumulates 'pad', 'transfer',
@@ -201,15 +210,25 @@ def infer_nags_stacked(model, variables, nags, cfg, timings=None,
     import jax
     import jax.numpy as jnp
     from .transforms import prepare_batch
+    from .data.pad import pad_nag
 
     t = timings if timings is not None else {}
 
     t0 = time.perf_counter()
     dt = getattr(getattr(model, 'net', None), 'compute_dtype', None)
     batches = []
-    for nag in nags:
-        b = prepare_batch([nag], cfg, train=False, device=False)
-        batches.append(strip_for_inference(b, dt))
+    if processed is not None:
+        for big in processed:
+            b = pad_nag(big, num_classes=cfg.num_classes,
+                        node_caps=cfg.node_caps, k_caps=cfg.k_caps,
+                        k_in_caps=cfg.k_in_caps,
+                        bucket_mode=cfg.bucket_mode, device=False,
+                        with_transpose=False)
+            batches.append(strip_for_inference(b, dt))
+    else:
+        for nag in nags:
+            b = prepare_batch([nag], cfg, train=False, device=False)
+            batches.append(strip_for_inference(b, dt))
     stacked = stack_batches(batches)
     t['pad'] = t.get('pad', 0.0) + time.perf_counter() - t0
 
@@ -273,7 +292,8 @@ def e2e_inference(model, variables, data, pre_cfg=None, batch_cfg=None,
 
     Returns (full_res_pred [n_raw], info dict).
     """
-    from .transforms import BatchConfig, prepare_batch
+    from .transforms import BatchConfig
+    from .transforms.prepare import batch_signature, process_batch
     from .transforms.preprocess import preprocess_cloud
 
     pre_cfg = dict(pre_cfg or {})
@@ -299,22 +319,21 @@ def e2e_inference(model, variables, data, pre_cfg=None, batch_cfg=None,
     # one shared padded signature across all tiles: node capacities,
     # neighbor K, AND the transpose-table K_in (data-dependent max
     # in-degree — without the pin each tile can land on a different
-    # K_in and force a fresh XLA compile per tile)
+    # K_in and force a fresh XLA compile per tile). Each tile is
+    # transformed ONCE (process_batch); the signature is three
+    # bincounts per tile (batch_signature), not a throwaway padding.
     t0 = time.perf_counter()
     cfg = dataclasses.replace(batch_cfg, **EVAL_BATCH_OVERRIDES)
+    bigs = [process_batch([nag], cfg, train=False) for nag in nags]
     node_caps, k_caps, k_in_caps = {}, {}, {}
-    for nag in nags:
-        probe = prepare_batch([nag], cfg, train=False, device=False)
-        for i, lvl in enumerate(probe.levels):
-            li = probe.start_i_level + i
-            node_caps[li] = max(node_caps.get(li, 0), lvl.capacity)
-            if lvl.nbr_idx is not None:
-                k_caps[li] = max(k_caps.get(li, 0),
-                                 lvl.nbr_idx.shape[1])
-            if lvl.nbr_in_idx is not None:
-                k_in_caps[li] = max(k_in_caps.get(li, 0),
-                                    lvl.nbr_in_idx.shape[1])
-        del probe
+    for big in bigs:
+        nc, kc, kic = batch_signature(big, cfg)
+        for li, v in nc.items():
+            node_caps[li] = max(node_caps.get(li, 0), v)
+        for li, v in kc.items():
+            k_caps[li] = max(k_caps.get(li, 0), v)
+        for li, v in kic.items():
+            k_in_caps[li] = max(k_in_caps.get(li, 0), v)
     cfg = dataclasses.replace(cfg, node_caps=node_caps,
                               k_caps=k_caps or None,
                               k_in_caps=k_in_caps or None)
@@ -324,7 +343,8 @@ def e2e_inference(model, variables, data, pre_cfg=None, batch_cfg=None,
     # scanned forward, one [T, cap1] fetch) — per-tile dispatch through
     # a runtime pays its per-call cost T times
     preds1 = infer_nags_stacked(model, variables, nags, cfg,
-                                timings=t, warmup=warmup)
+                                timings=t, warmup=warmup,
+                                processed=bigs)
 
     t0 = time.perf_counter()
     out = np.empty(n_raw, dtype=np.int32)

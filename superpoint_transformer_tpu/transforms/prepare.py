@@ -11,7 +11,8 @@ import numpy as np
 from ..data.pad import batch_nags, pad_nag
 from . import runtime as T
 
-__all__ = ['BatchConfig', 'prepare_batch', 'discover_caps',
+__all__ = ['BatchConfig', 'prepare_batch', 'process_batch',
+           'batch_signature', 'discover_caps',
            'prepare_partition_batch']
 
 
@@ -64,10 +65,15 @@ class BatchConfig:
     nano: bool = False
 
 
-def prepare_batch(nag_list, cfg: BatchConfig, train=True, rng=None,
-                  tta=False, device=True):
-    """Full batch-prep: augment+sample each NAG, build features, batch,
-    pad. Returns a PaddedNAG ready for the jitted step.
+def process_batch(nag_list, cfg: BatchConfig, train=True, rng=None,
+                  tta=False):
+    """Transform phase of batch-prep: augment+sample each NAG, build
+    features, batch — everything except padding. Returns the batched
+    (transform-complete) NAG, ready for `pad_nag` /
+    `batch_signature`. Split out so callers that must pin a shared
+    padded signature across many batches (e2e tiled inference) can
+    transform each batch ONCE, read its signature, and pad once —
+    instead of running the full prepare twice per batch.
 
     `tta=True` applies the geometric augmentations WITHOUT any node /
     edge subsampling — each TTA run sees every node, so multi-run
@@ -162,11 +168,42 @@ def prepare_batch(nag_list, cfg: BatchConfig, train=True, rng=None,
                             delete_after=False)
         processed.append(nag)
 
-    big = batch_nags(processed)
+    return batch_nags(processed)
+
+
+def prepare_batch(nag_list, cfg: BatchConfig, train=True, rng=None,
+                  tta=False, device=True):
+    """Full batch-prep: `process_batch` (augment+sample+features+batch)
+    followed by `pad_nag`. Returns a PaddedNAG ready for the jitted
+    step."""
+    big = process_batch(nag_list, cfg, train=train, rng=rng, tta=tta)
     return pad_nag(big, num_classes=cfg.num_classes,
                    node_caps=cfg.node_caps, k_caps=cfg.k_caps,
                    k_in_caps=cfg.k_in_caps,
                    bucket_mode=cfg.bucket_mode, device=device)
+
+
+def batch_signature(big, cfg: BatchConfig, with_edges_from=1):
+    """Padded-shape signature of a transform-complete batched NAG
+    WITHOUT materializing any padded array: per-level node capacity
+    (bucketed), dense-neighbor K (max out-degree, 16-rounded) and
+    transpose-table K_in (max in-degree, 16-rounded) — exactly the
+    shapes `pad_nag` would choose, from three bincounts. Returns
+    (node_caps, k_caps, k_in_caps) dicts keyed by absolute level."""
+    from ..data.pad import bucket, _round_up
+    node_caps, k_caps, k_in_caps = {}, {}, {}
+    for i in big.levels:
+        d = big[i]
+        node_caps[i] = bucket(d.num_nodes, cfg.bucket_mode)
+        if i >= with_edges_from and 'edge_index' in d \
+                and d.num_edges > 0:
+            ei = np.asarray(d.edge_index)
+            deg = np.bincount(ei[0], minlength=d.num_nodes)
+            k_caps[i] = max(_round_up(int(deg.max(initial=0)), 16), 16)
+            deg_in = np.bincount(ei[1], minlength=d.num_nodes)
+            k_in_caps[i] = max(
+                _round_up(int(deg_in.max(initial=0)), 16), 16)
+    return node_caps, k_caps, k_in_caps
 
 
 def discover_caps(nag_lists, cfg: BatchConfig, train=True, rng=None,

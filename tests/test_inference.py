@@ -68,6 +68,40 @@ def test_strip_for_inference_identical_logits(flagship):
     np.testing.assert_array_equal(l1, l2)
 
 
+def test_batch_signature_matches_pad(small_cloud):
+    """batch_signature must predict, without materializing a padded
+    array, exactly the shapes pad_nag chooses (node capacity, dense
+    K, transpose K_in) — the e2e shared-signature pin relies on it."""
+    import dataclasses
+    from superpoint_transformer_tpu.data.pad import pad_nag
+    from superpoint_transformer_tpu.inference import (
+        tile_cloud, EVAL_BATCH_OVERRIDES)
+    from superpoint_transformer_tpu.transforms import BatchConfig
+    from superpoint_transformer_tpu.transforms.prepare import (
+        batch_signature, process_batch)
+    from superpoint_transformer_tpu.transforms.preprocess import (
+        preprocess_cloud)
+    pre = dict(voxel=0.1, knn=25, knn_r=10.0, knn_min_search=10,
+               pcp_regularization=(0.1, 0.2, 0.3),
+               pcp_spatial_weight=(0.1, 0.01, 0.001),
+               pcp_cutoff=(10, 30, 100), graph_gap=(5.0, 30.0, 30.0))
+    cfg = dataclasses.replace(BatchConfig(), **EVAL_BATCH_OVERRIDES)
+    (tile, _), _ = tile_cloud(small_cloud, (2, 1))[0], None
+    big = process_batch([preprocess_cloud(tile, **pre)], cfg,
+                        train=False)
+    nc, kc, kic = batch_signature(big, cfg)
+    padded = pad_nag(big, num_classes=cfg.num_classes,
+                     bucket_mode=cfg.bucket_mode, device=False)
+    for i, lvl in enumerate(padded.levels):
+        li = padded.start_i_level + i
+        assert nc[li] == lvl.capacity, (li, nc[li], lvl.capacity)
+        if lvl.nbr_idx is not None:
+            assert kc[li] == lvl.nbr_idx.shape[1], li
+            assert kic[li] == lvl.nbr_in_idx.shape[1], li
+        else:
+            assert li not in kc
+
+
 @pytest.mark.slow
 def test_stacked_scan_matches_per_tile(small_cloud, flagship):
     """infer_nags_stacked (one lax.scan program over same-signature
