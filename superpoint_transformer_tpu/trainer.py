@@ -561,6 +561,7 @@ def validate_panoptic(task, state, loader, batch_cfg, num_classes,
     if settings is None:
         settings = dict(regularization=10.0, x_weight=5e-2, cutoff=1)
     first = True
+    out_diag = {}
     for nags in loader:
         batch = prepare_batch(nags, batch_cfg, train=False)
         out = task.eval_step(state, batch)
@@ -591,6 +592,20 @@ def validate_panoptic(task, state, loader, batch_cfg, num_classes,
             pos, logits, ei, ea, node_size=sizes,
             stuff_classes=stuff_classes, num_classes=num_classes,
             **settings)
+        # diagnostics: how many instances the partition produced and
+        # how well the predicted affinities separate the gt graph
+        # (the two failure axes of the SuperCluster loop)
+        out_diag['n_pred_instances'] = (
+            out_diag.get('n_pred_instances', 0)
+            + int(obj_index.max()) + 1)
+        if lvl1.obj_edge_affinity is not None:
+            tgt = np.asarray(lvl1.obj_edge_affinity)[emask]
+            pred_pos = ea > 0.0
+            gt_pos = tgt > 0.5
+            out_diag['edge_affinity_acc'] = float(
+                (pred_pos == gt_pos).mean())
+            out_diag['edge_affinity_gt_pos_frac'] = float(
+                gt_pos.mean())
         merged = obj.merge(obj_index)
         n_inst = int(obj_index.max()) + 1
         pred_sem = np.zeros(n_inst, np.int64)
@@ -607,6 +622,7 @@ def validate_panoptic(task, state, loader, batch_cfg, num_classes,
     out.update({f'map_{k}' if not k.startswith('map') else k: v
                 for k, v in ap.compute().items()
                 if k in ('map', 'map_50', 'map_25', 'mar')})
+    out.update(out_diag)
     out['settings'] = settings
     return out
 

@@ -71,3 +71,58 @@ def test_supercluster_demo_short_floor(demo_nag):
     assert res['pq'] >= 2.0, res
     assert res['pq'] <= res['oracle_pq'] + 1e-6, res
     assert res['loss_last'] < res['loss_first'], res
+
+
+def test_instance_partition_oracle_inputs_reach_ceiling(demo_nag):
+    """With ORACLE inputs (gt-majority one-hot logits, +/-10 affinity
+    logits by same-gt-instance), the instance partition + PQ loop must
+    reach the panoptic-oracle ceiling on the demo room — pinning the
+    whole SuperCluster inference path (partition solver, stuff merge,
+    InstanceData merge, PQ matching) independent of training quality.
+    Measured: PQ exactly equals the 92.59 oracle at default settings."""
+    from superpoint_transformer_tpu.metrics.oracle import (
+        panoptic_segmentation_oracle)
+    from superpoint_transformer_tpu.metrics.panoptic import (
+        PanopticQuality3D)
+    from superpoint_transformer_tpu.models.panoptic import (
+        instance_partition)
+    from superpoint_transformer_tpu.transforms import BatchConfig
+    from superpoint_transformer_tpu.transforms.prepare import (
+        process_batch)
+    from superpoint_transformer_tpu.utils.pseudo_instances import (
+        add_pseudo_instances)
+
+    nag, _ = add_pseudo_instances(demo_nag.clone(), num_classes=13)
+    cfg = BatchConfig(instance=True, sample_graph_r=-1,
+                      sample_segment_ratio=0, rgb_autocontrast=0,
+                      rgb_drop=0)
+    big = process_batch([nag], cfg, train=False)
+    d1 = big[1]
+    obj = d1.obj
+    maj_obj, _, maj_y = obj.major(num_classes=13)
+    maj_obj, maj_y = np.asarray(maj_obj), np.asarray(maj_y)
+
+    C = 13
+    n1 = int(d1.num_nodes)
+    logits = np.full((n1, C), -10.0, np.float32)
+    valid = maj_y < C
+    logits[np.arange(n1)[valid], maj_y[valid]] = 10.0
+    oei = np.asarray(d1.obj_edge_index)
+    s, t = oei
+    same = (maj_obj[s] == maj_obj[t]) & valid[s] & valid[t]
+    ea = np.where(same, 10.0, -10.0).astype(np.float32)
+
+    obj_index = instance_partition(
+        np.asarray(d1.pos, np.float32), logits, oei, ea,
+        node_size=np.asarray(d1.node_size, np.float32))
+    merged = obj.merge(obj_index)
+    n_inst = int(obj_index.max()) + 1
+    acc = np.zeros((n_inst, C))
+    np.add.at(acc, obj_index, logits)
+    pq = PanopticQuality3D(C)
+    pq.update_from_instance_data(merged, acc.argmax(1))
+    got = pq.compute()
+
+    oracle = panoptic_segmentation_oracle(obj, C)
+    assert float(got['pq']) >= float(oracle['pq']) - 1.0, (
+        float(got['pq']), float(oracle['pq']))
