@@ -222,6 +222,18 @@ def _bench_e2e_inference():
     proj = ((t['preprocess'] + t['pad']) / ASSUMED_CORES + t['tile']
             + t['pin'] + t['forward'] + t['fetch'] + t['recover'])
     info['projected_raw_points_per_sec_cores'] = round(n / proj, 1)
+    # protocol-matched comparison: the reference's 10.1 s headline is
+    # inference on PREPROCESSED tiles (its pre_transform cache is
+    # built offline into the processed/ dir, datasets/base.py:792 —
+    # eval batches load stored NAGs). The equivalent here is
+    # pad+transfer+forward+fetch+recover, i.e. stored-NAG -> full-res
+    # predictions; also reported ex-transfer (the dev relay moves
+    # ~10 MB/s where production PCIe moves tens of GB/s).
+    dev = t['pad'] + t['transfer'] + t['forward'] + t['fetch'] \
+        + t['recover']
+    info['from_preprocessed_raw_points_per_sec'] = round(n / dev, 1)
+    info['from_preprocessed_raw_points_per_sec_ex_transfer'] = round(
+        n / max(dev - t['transfer'], 1e-9), 1)
     return info
 
 
@@ -450,6 +462,12 @@ def main():
             'e2e_inference_n_tiles': e2e['n_tiles'],
             'e2e_projected_raw_points_per_sec_16core': (
                 e2e['projected_raw_points_per_sec_cores']),
+            # protocol-matched to the reference headline (inference on
+            # preprocessed tiles; see _bench_e2e_inference)
+            'inference_from_preprocessed_raw_pts_per_sec': (
+                e2e['from_preprocessed_raw_points_per_sec']),
+            'inference_from_preprocessed_ex_transfer': (
+                e2e['from_preprocessed_raw_points_per_sec_ex_transfer']),
             'train_params_finite': True,
         },
     }))

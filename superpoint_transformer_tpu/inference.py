@@ -193,15 +193,21 @@ def stack_batches(batches):
 
 
 def infer_nags_stacked(model, variables, nags, cfg, timings=None,
-                       warmup=False, processed=None):
+                       warmup=False, processed=None,
+                       max_tiles_per_program=8):
     """Whole-cloud forward over preprocessed tiles in ONE device
-    program: host-pad each tile to the shared signature, stack, one
-    device_put, one scanned forward, one device read.
+    program per chunk: host-pad each tile to the shared signature,
+    stack, one device_put, one scanned forward, one device read.
 
     `processed` optionally carries the tiles' transform-complete
     batched NAGs (from `process_batch`) so tiles that were already
     transformed — e.g. to read their padded signature — are only
     padded here, not re-transformed.
+
+    Clouds larger than `max_tiles_per_program` tiles run in fixed-size
+    chunks (the last chunk repeats its final tile to fill) so device
+    memory stays bounded and EVERY chunk reuses the one compiled
+    [chunk, ...] scan program.
 
     Returns a list of per-tile [N1] int argmax predictions (host).
     When `timings` is a dict, accumulates 'pad', 'transfer',
@@ -229,44 +235,59 @@ def infer_nags_stacked(model, variables, nags, cfg, timings=None,
         for nag in nags:
             b = prepare_batch([nag], cfg, train=False, device=False)
             batches.append(strip_for_inference(b, dt))
-    stacked = stack_batches(batches)
+    T = len(batches)
+    chunk = max(1, min(max_tiles_per_program, T))
+    groups = []
+    for c0 in range(0, T, chunk):
+        g = batches[c0:c0 + chunk]
+        g = g + [g[-1]] * (chunk - len(g))  # fill: one signature
+        groups.append(stack_batches(g))
+    del batches
     t['pad'] = t.get('pad', 0.0) + time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    stacked = jax.device_put(stacked)
-    _sync_probe(stacked)
-    t['transfer'] = t.get('transfer', 0.0) + time.perf_counter() - t0
-
     run = _jit_scan_forward(model)
-    if warmup:
-        # compile + first execution outside the clock (disk-cached
-        # across runs; steady-state serving never pays it). The timed
-        # call below uses perturbed params so the warmup result cannot
-        # be served back from a runtime-level call cache.
+    out_chunks = []
+    for gi, stacked in enumerate(groups):
         t0 = time.perf_counter()
-        preds_w, sync_w = run(variables, stacked)
-        float(sync_w)
-        t['warmup_compile'] = (t.get('warmup_compile', 0.0)
-                               + time.perf_counter() - t0)
-        if 'perturb' not in _JIT_CACHE:
-            # multiplicative so the change survives fp32 rounding
-            # (bit-identical args could be served from a call cache);
-            # 1e-6 relative is way below any decision boundary that
-            # matters for an argmax over logits
-            _JIT_CACHE['perturb'] = jax.jit(
-                lambda v: jax.tree_util.tree_map(
-                    lambda a: a * jnp.asarray(1.0 + 1e-6, a.dtype)
-                    if jnp.issubdtype(a.dtype, jnp.floating) else a, v))
-        variables = _JIT_CACHE['perturb'](variables)
+        stacked = jax.device_put(stacked)
+        _sync_probe(stacked)
+        t['transfer'] = (t.get('transfer', 0.0)
+                         + time.perf_counter() - t0)
 
-    t0 = time.perf_counter()
-    preds, sync = run(variables, stacked)
-    float(sync)  # the one true device sync
-    t['forward'] = t.get('forward', 0.0) + time.perf_counter() - t0
+        if warmup and gi == 0:
+            # compile + first execution outside the clock (disk-cached
+            # across runs; steady-state serving never pays it). The
+            # timed call below uses perturbed params so the warmup
+            # result cannot be served back from a runtime-level call
+            # cache.
+            t0 = time.perf_counter()
+            _, sync_w = run(variables, stacked)
+            float(sync_w)
+            t['warmup_compile'] = (t.get('warmup_compile', 0.0)
+                                   + time.perf_counter() - t0)
+            if 'perturb' not in _JIT_CACHE:
+                # multiplicative so the change survives fp32 rounding
+                # (bit-identical args could be served from a call
+                # cache); 1e-6 relative is way below any decision
+                # boundary that matters for an argmax over logits
+                _JIT_CACHE['perturb'] = jax.jit(
+                    lambda v: jax.tree_util.tree_map(
+                        lambda a: a * jnp.asarray(1.0 + 1e-6, a.dtype)
+                        if jnp.issubdtype(a.dtype, jnp.floating)
+                        else a, v))
+            variables = _JIT_CACHE['perturb'](variables)
 
-    t0 = time.perf_counter()
-    fetched = np.asarray(jax.device_get(preds))  # [T, cap1] int8
-    t['fetch'] = t.get('fetch', 0.0) + time.perf_counter() - t0
+        t0 = time.perf_counter()
+        preds, sync = run(variables, stacked)
+        float(sync)  # the one true device sync per chunk
+        t['forward'] = t.get('forward', 0.0) + time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        out_chunks.append(np.asarray(jax.device_get(preds)))
+        t['fetch'] = t.get('fetch', 0.0) + time.perf_counter() - t0
+        del stacked
+
+    fetched = np.concatenate(out_chunks)[:T]  # [T, cap1] int8
     return [fetched[i, :int(nag[1].num_nodes)].astype(np.int32)
             for i, nag in enumerate(nags)]
 

@@ -144,6 +144,12 @@ def test_stacked_scan_matches_per_tile(small_cloud, flagship):
         pp = infer_nag(model, variables, nag, cfg)
         assert sp.shape == pp.shape == (int(nag[1].num_nodes),)
         np.testing.assert_array_equal(sp, pp)
+    # chunked execution (2 tiles through [1, ...] programs, exercising
+    # the fill-and-slice path) must be identical too
+    chunked = infer_nags_stacked(model, variables, nags, cfg,
+                                 max_tiles_per_program=1)
+    for sp, cp in zip(stacked, chunked):
+        np.testing.assert_array_equal(sp, cp)
 
 
 @pytest.mark.slow
