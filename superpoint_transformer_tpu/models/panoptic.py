@@ -239,7 +239,8 @@ def grid_search_panoptic_partition(
         pos, node_logits, edge_index, edge_affinity_logits, obj,
         num_classes, node_size=None, batch=None, stuff_classes=(),
         regularizations=(1., 10., 20., 50., 100., 200.),
-        x_weights=(2e-1, 5e-2, 1e-2), cutoffs=(1,), criterion='pq'):
+        x_weights=(2e-1, 5e-2, 1e-2), cutoffs=(1, 100, 300),
+        criterion='pq'):
     """Grid-search the instance-partition hyperparameters maximizing a
     panoptic metric (reference grid_search_panoptic_partition,
     src/utils/instance.py:1237 and the epoch-end search in

@@ -13,7 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def main(steps=600, crops=4):
+def main(steps=600, crops=4, weights=None):
     from superpoint_transformer_tpu.utils.jax_setup import setup_jax
     setup_jax()
     from superpoint_transformer_tpu.data import NAG
@@ -22,7 +22,8 @@ def main(steps=600, crops=4):
 
     demo = '/root/reference/notebooks/demo_nag_v3.h5'
     nag = NAG.load(demo, non_fp_to_long=True, rgb_to_float=True)
-    res = run_supercluster_demo(nag, steps=steps, crops=crops, seed=0)
+    res = run_supercluster_demo(nag, steps=steps, crops=crops, seed=0,
+                                edge_affinity_loss_weights=weights)
     print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)
                       for k, v in res.items() if k != 'settings'}),
           flush=True)
@@ -30,6 +31,9 @@ def main(steps=600, crops=4):
 
 
 if __name__ == '__main__':
+    # usage: run_supercluster_chip.py [steps] [crops] [w1,w2,w3,w4]
     a = sys.argv[1:]
     main(steps=int(a[0]) if a else 600,
-         crops=int(a[1]) if len(a) > 1 else 4)
+         crops=int(a[1]) if len(a) > 1 else 4,
+         weights=(tuple(float(x) for x in a[2].split(','))
+                  if len(a) > 2 else None))
