@@ -237,6 +237,77 @@ def _bench_e2e_inference():
     return info
 
 
+def _supervise():
+    """Run the real bench in a child process and retry if it stalls.
+
+    The axon relay's tunnel is occasionally lost at claim time: the
+    process blocks forever in futex_wait with zero CPU before printing
+    anything (observed round 4: 1 of 2 fresh launches). A fresh
+    process claims the chip fine, so the driver-facing entry runs the
+    bench as a supervised child: if the child produces no NEW output
+    for STALL_SEC, kill it and start another (max 3 attempts). The
+    child's stdout (the one JSON line) is streamed through."""
+    import subprocess
+
+    def _cpu_sec(pid):
+        try:
+            with open(f'/proc/{pid}/stat', 'rb') as f:
+                parts = f.read().split(b')')[-1].split()
+            # utime+stime are fields 14/15 of stat = 11/12 after ')'
+            return (int(parts[11]) + int(parts[12])) \
+                / os.sysconf('SC_CLK_TCK')
+        except OSError:
+            return None
+
+    STALL_SEC = 600.0    # healthy phases always burn CPU within 10 min
+    MIN_CPU_DELTA = 1.0  # sec of CPU over the window counts as alive
+    env = dict(os.environ, SPT_BENCH_CHILD='1')
+    for attempt in range(3):
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            stdout=subprocess.PIPE, stderr=sys.stderr)
+        os.set_blocking(proc.stdout.fileno(), False)
+        buf = b''
+        stalled = False
+        t_mark = time.monotonic()
+        cpu_mark = _cpu_sec(proc.pid) or 0.0
+        while True:
+            rc = proc.poll()
+            chunk = proc.stdout.read()
+            if chunk:
+                buf += chunk
+                t_mark = time.monotonic()
+                cpu_mark = _cpu_sec(proc.pid) or cpu_mark
+            if rc is not None:
+                break
+            now = time.monotonic()
+            if now - t_mark > STALL_SEC:
+                cpu = _cpu_sec(proc.pid)
+                if cpu is not None and cpu - cpu_mark >= MIN_CPU_DELTA:
+                    t_mark, cpu_mark = now, cpu  # alive: rearm window
+                else:
+                    stalled = True
+                    proc.terminate()
+                    try:
+                        proc.wait(timeout=30)
+                    except subprocess.TimeoutExpired:
+                        proc.kill()
+                    break
+            time.sleep(2.0)
+        chunk = proc.stdout.read()
+        if chunk:
+            buf += chunk
+        if not stalled and rc == 0:
+            sys.stdout.buffer.write(buf)
+            sys.stdout.flush()
+            return 0
+        sys.stderr.write(
+            f'bench supervisor: attempt {attempt + 1} '
+            f'{"stalled" if stalled else f"failed rc={rc}"}; '
+            'retrying with a fresh process\n')
+    return 1
+
+
 def main():
     import jax
     from superpoint_transformer_tpu.utils.jax_setup import setup_jax
@@ -474,4 +545,7 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    if os.environ.get('SPT_BENCH_CHILD') == '1':
+        main()
+    else:
+        sys.exit(_supervise())
