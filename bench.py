@@ -214,27 +214,43 @@ def _bench_e2e_inference():
                                target_tile_points=600_000)
     assert pred.shape[0] == n
     t = info['timings_sec']
-    # projection: preprocessing and batch padding are per-tile
-    # parallel (datasets/base.py worker fan-out) -> /assumed_cores;
-    # the host->device transfer is excluded (the dev relay moves
-    # ~10 MB/s where production PCIe/DMA moves tens of GB/s and
-    # overlaps compute — see raw_points_per_sec_ex_transfer)
-    proj = ((t['preprocess'] + t['pad']) / ASSUMED_CORES + t['tile']
-            + t['pin'] + t['forward'] + t['fetch'] + t['recover'])
+    # projection: preprocessing, per-tile transform and batch padding
+    # are per-tile parallel (datasets/base.py worker fan-out)
+    # -> /assumed_cores; the host->device transfer is excluded (the
+    # dev relay moves ~10 MB/s where production PCIe/DMA moves tens
+    # of GB/s and overlaps compute — see raw_points_per_sec_ex_transfer)
+    proj = ((t['preprocess'] + t['transform'] + t['pad'])
+            / ASSUMED_CORES + t['tile'] + t['pin'] + t['forward']
+            + t['fetch'] + t['recover'])
     info['projected_raw_points_per_sec_cores'] = round(n / proj, 1)
     # protocol-matched comparison: the reference's 10.1 s headline is
     # inference on PREPROCESSED tiles (its pre_transform cache is
     # built offline into the processed/ dir, datasets/base.py:792 —
-    # eval batches load stored NAGs). The equivalent here is
-    # pad+transfer+forward+fetch+recover, i.e. stored-NAG -> full-res
-    # predictions; also reported ex-transfer (the dev relay moves
+    # eval batches load stored NAGs, then still run their on-device
+    # test transforms per batch). The equivalent here is
+    # transform+pad+transfer+forward+fetch+recover, i.e. stored-NAG ->
+    # full-res predictions INCLUDING the per-tile host transform work
+    # (a stored-NAG serving path pays it unless those products are
+    # also cached); also reported ex-transfer (the dev relay moves
     # ~10 MB/s where production PCIe moves tens of GB/s).
-    dev = t['pad'] + t['transfer'] + t['forward'] + t['fetch'] \
-        + t['recover']
+    dev = t['transform'] + t['pad'] + t['transfer'] + t['forward'] \
+        + t['fetch'] + t['recover']
     info['from_preprocessed_raw_points_per_sec'] = round(n / dev, 1)
     info['from_preprocessed_raw_points_per_sec_ex_transfer'] = round(
         n / max(dev - t['transfer'], 1e-9), 1)
     return info
+
+
+def _hb(msg):
+    """Child-side heartbeat: one line to stderr at every phase
+    boundary. The supervisor counts stderr bytes as liveness, so a
+    healthy phase that blocks on device work through the relay with
+    ~0 host CPU (long compile, scanned forward, big transfer) is not
+    killed as 'stalled' — only a child whose MAIN thread is wedged
+    (the futex_wait lost-tunnel signature) goes silent on both
+    streams AND burns no CPU."""
+    sys.stderr.write(f'[bench] {msg}\n')
+    sys.stderr.flush()
 
 
 def _supervise():
@@ -245,8 +261,10 @@ def _supervise():
     anything (observed round 4: 1 of 2 fresh launches). A fresh
     process claims the chip fine, so the driver-facing entry runs the
     bench as a supervised child: if the child produces no NEW output
-    for STALL_SEC, kill it and start another (max 3 attempts). The
-    child's stdout (the one JSON line) is streamed through."""
+    on stdout OR stderr (phase heartbeats, see _hb) for STALL_SEC and
+    burned no CPU over the window, kill it and start another (max 3
+    attempts). The child's stdout (the one JSON line) is streamed
+    through at the end; stderr is forwarded live."""
     import subprocess
 
     def _cpu_sec(pid):
@@ -259,23 +277,38 @@ def _supervise():
         except OSError:
             return None
 
-    STALL_SEC = 600.0    # healthy phases always burn CPU within 10 min
+    STALL_SEC = 600.0    # no heartbeat AND no CPU for 10 min = wedged
     MIN_CPU_DELTA = 1.0  # sec of CPU over the window counts as alive
     env = dict(os.environ, SPT_BENCH_CHILD='1')
     for attempt in range(3):
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)], env=env,
-            stdout=subprocess.PIPE, stderr=sys.stderr)
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         os.set_blocking(proc.stdout.fileno(), False)
+        os.set_blocking(proc.stderr.fileno(), False)
         buf = b''
         stalled = False
         t_mark = time.monotonic()
         cpu_mark = _cpu_sec(proc.pid) or 0.0
-        while True:
-            rc = proc.poll()
+
+        def _pump():
+            """Drain both pipes; returns True if anything arrived."""
+            nonlocal buf
+            got = False
             chunk = proc.stdout.read()
             if chunk:
                 buf += chunk
+                got = True
+            err = proc.stderr.read()
+            if err:
+                sys.stderr.buffer.write(err)
+                sys.stderr.flush()
+                got = True
+            return got
+
+        while True:
+            rc = proc.poll()
+            if _pump():
                 t_mark = time.monotonic()
                 cpu_mark = _cpu_sec(proc.pid) or cpu_mark
             if rc is not None:
@@ -294,9 +327,7 @@ def _supervise():
                         proc.kill()
                     break
             time.sleep(2.0)
-        chunk = proc.stdout.read()
-        if chunk:
-            buf += chunk
+        _pump()
         if not stalled and rc == 0:
             sys.stdout.buffer.write(buf)
             sys.stdout.flush()
@@ -322,6 +353,7 @@ def main():
     platform = jax.devices()[0].platform
 
     # ---- host-only sections first (no device traffic) ----------------
+    _hb('preprocessing bench')
     preproc_sec_per_1m = _bench_preprocessing()
 
     demo = '/root/reference/notebooks/demo_nag_v3.h5'
@@ -363,6 +395,7 @@ def main():
                                 rng=np.random.default_rng(1))
 
     # ---- device sections ---------------------------------------------
+    _hb('device transfer + drain')
     import jax.numpy as jnp
     from functools import partial
 
@@ -393,6 +426,7 @@ def main():
         return tot
 
     # ---- train-step timing -------------------------------------------
+    _hb('train-step timing')
     task = SemanticTask(net=_make_model(num_graphs=4), num_classes=13,
                         total_steps=REF_TOTAL_STEPS, warmup_steps=200)
     state = task.init_state(jax.random.PRNGKey(0), train_batch)
@@ -422,6 +456,7 @@ def main():
     assert np.isfinite(v_small) and np.isfinite(v_big)
 
     # ---- forward timing + model FLOPs --------------------------------
+    _hb('forward timing + FLOPs')
     model = SemanticSegmentationModel(
         net=_make_model(num_graphs=BATCH), num_classes=13)
     variables = jax.jit(
@@ -471,10 +506,13 @@ def main():
     # (ops/pallas_attention.py dense_attention_rpe_bwd_pallas) vs XLA
     # autodiff of the mathematically-identical expression, at the
     # flagship attention shape, in the flagship compute dtype (bf16).
+    _hb('pallas backward grad parity')
     pallas_bwd_max_rel_err = _pallas_bwd_grad_parity(platform)
 
     # ---- end-to-end whole-tile inference (runs last: device reads) ---
+    _hb('e2e inference')
     e2e = _bench_e2e_inference()
+    _hb('projection + report')
 
     # ---- north-star projection ----------------------------------------
     preproc_hours = (S3DIS_RAW_POINTS_M * preproc_sec_per_1m

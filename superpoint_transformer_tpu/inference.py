@@ -166,7 +166,7 @@ def _jit_scan_forward(model):
     executable, one device read for the whole cloud. Per-tile jit
     calls pay the runtime's per-dispatch cost T times (and a shape
     drift — e.g. an unpinned K_in — pays T compiles); the scan pays
-    both once. Returns ([T, cap1] int8 argmax preds, sync scalar)."""
+    both once. Returns ([T, cap1] int32 argmax preds, sync scalar)."""
     import jax
     import jax.numpy as jnp
     key = (id(model), 'scan_fwd')
@@ -174,7 +174,10 @@ def _jit_scan_forward(model):
         def run(v, stacked):
             def body(carry, b):
                 logits = model.apply(v, b, train=False)
-                pred = jnp.argmax(logits[0], -1).astype(jnp.int8)
+                # int32, not int8: a model with >127 classes would
+                # silently wrap (infer_nag uses int32 for the same
+                # value); the [T, cap1] fetch-size difference is noise
+                pred = jnp.argmax(logits[0], -1).astype(jnp.int32)
                 return carry, pred
             _, preds = jax.lax.scan(body, jnp.int32(0), stacked)
             sync = jnp.sum(preds.astype(jnp.int32)).astype(jnp.float32)
@@ -255,39 +258,50 @@ def infer_nags_stacked(model, variables, nags, cfg, timings=None,
                          + time.perf_counter() - t0)
 
         if warmup and gi == 0:
-            # compile + first execution outside the clock (disk-cached
+            # Compile + first execution outside the clock (disk-cached
             # across runs; steady-state serving never pays it). The
-            # timed call below uses perturbed params so the warmup
-            # result cannot be served back from a runtime-level call
-            # cache.
+            # warmup runs the REAL variables — its predictions are the
+            # ones returned for this chunk. The timed call below runs
+            # a perturbed COPY of the variables purely as a timing
+            # probe (bit-identical args could be served from the
+            # relay's call cache), and its output is discarded, so the
+            # product predictions always come from unperturbed
+            # weights.
             t0 = time.perf_counter()
-            _, sync_w = run(variables, stacked)
+            preds_real, sync_w = run(variables, stacked)
             float(sync_w)
             t['warmup_compile'] = (t.get('warmup_compile', 0.0)
                                    + time.perf_counter() - t0)
             if 'perturb' not in _JIT_CACHE:
                 # multiplicative so the change survives fp32 rounding
-                # (bit-identical args could be served from a call
-                # cache); 1e-6 relative is way below any decision
-                # boundary that matters for an argmax over logits
                 _JIT_CACHE['perturb'] = jax.jit(
                     lambda v: jax.tree_util.tree_map(
                         lambda a: a * jnp.asarray(1.0 + 1e-6, a.dtype)
                         if jnp.issubdtype(a.dtype, jnp.floating)
                         else a, v))
-            variables = _JIT_CACHE['perturb'](variables)
+            probe_vars = _JIT_CACHE['perturb'](variables)
 
-        t0 = time.perf_counter()
-        preds, sync = run(variables, stacked)
-        float(sync)  # the one true device sync per chunk
-        t['forward'] = t.get('forward', 0.0) + time.perf_counter() - t0
+            t0 = time.perf_counter()
+            _, sync = run(probe_vars, stacked)
+            float(sync)  # the one true device sync for the probe
+            t['forward'] = (t.get('forward', 0.0)
+                            + time.perf_counter() - t0)
+            preds = preds_real
+            del probe_vars
+        else:
+            # fresh inputs: the relay call cache cannot serve these
+            t0 = time.perf_counter()
+            preds, sync = run(variables, stacked)
+            float(sync)  # the one true device sync per chunk
+            t['forward'] = (t.get('forward', 0.0)
+                            + time.perf_counter() - t0)
 
         t0 = time.perf_counter()
         out_chunks.append(np.asarray(jax.device_get(preds)))
         t['fetch'] = t.get('fetch', 0.0) + time.perf_counter() - t0
         del stacked
 
-    fetched = np.concatenate(out_chunks)[:T]  # [T, cap1] int8
+    fetched = np.concatenate(out_chunks)[:T]  # [T, cap1] int32
     return [fetched[i, :int(nag[1].num_nodes)].astype(np.int32)
             for i, nag in enumerate(nags)]
 
@@ -302,6 +316,8 @@ def e2e_inference(model, variables, data, pre_cfg=None, batch_cfg=None,
       preprocess  per-tile pre_transform chain (voxelize..graph);
                   single-core here — per-tile fan-out across workers
                   in production (datasets/base.py num_workers)
+      transform   per-tile process_batch (feature build, graph to
+                  dense tables); per-tile parallel in production
       pin         shared pow2 padding signature across tiles
       forward     per tile: pad -> device -> SPT -> [N1] argmax fetch
       recover     level-1 pred -> voxel -> raw points (super_index +
@@ -337,15 +353,24 @@ def e2e_inference(model, variables, data, pre_cfg=None, batch_cfg=None,
     t['preprocess'] = time.perf_counter() - t0
     info['n_voxels'] = int(sum(n[0].num_nodes for n in nags))
 
-    # one shared padded signature across all tiles: node capacities,
-    # neighbor K, AND the transpose-table K_in (data-dependent max
-    # in-degree — without the pin each tile can land on a different
-    # K_in and force a fresh XLA compile per tile). Each tile is
-    # transformed ONCE (process_batch); the signature is three
-    # bincounts per tile (batch_signature), not a throwaway padding.
+    # Per-tile transform (process_batch: feature build, graph-to-dense
+    # conversion) — its own timing bucket because a stored-NAG serving
+    # path still pays it per tile unless those products are also
+    # cached; lumping it into 'pin' would hide it from the
+    # protocol-matched from-preprocessed rate (it is per-tile parallel
+    # across workers in production, like 'preprocess').
     t0 = time.perf_counter()
     cfg = dataclasses.replace(batch_cfg, **EVAL_BATCH_OVERRIDES)
     bigs = [process_batch([nag], cfg, train=False) for nag in nags]
+    t['transform'] = time.perf_counter() - t0
+
+    # one shared padded signature across all tiles: node capacities,
+    # neighbor K, AND the transpose-table K_in (data-dependent max
+    # in-degree — without the pin each tile can land on a different
+    # K_in and force a fresh XLA compile per tile). The signature is
+    # three bincounts per tile (batch_signature), not a throwaway
+    # padding.
+    t0 = time.perf_counter()
     node_caps, k_caps, k_in_caps = {}, {}, {}
     for big in bigs:
         nc, kc, kic = batch_signature(big, cfg)

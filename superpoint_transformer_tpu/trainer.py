@@ -599,13 +599,18 @@ def validate_panoptic(task, state, loader, batch_cfg, num_classes,
             out_diag.get('n_pred_instances', 0)
             + int(obj_index.max()) + 1)
         if lvl1.obj_edge_affinity is not None:
+            # accumulate COUNTS across loader batches (fractions are
+            # computed once after the loop; a per-batch overwrite
+            # would report only the last batch)
             tgt = np.asarray(lvl1.obj_edge_affinity)[emask]
             pred_pos = ea > 0.0
             gt_pos = tgt > 0.5
-            out_diag['edge_affinity_acc'] = float(
-                (pred_pos == gt_pos).mean())
-            out_diag['edge_affinity_gt_pos_frac'] = float(
-                gt_pos.mean())
+            out_diag['_ea_correct'] = (out_diag.get('_ea_correct', 0)
+                                       + int((pred_pos == gt_pos).sum()))
+            out_diag['_ea_gt_pos'] = (out_diag.get('_ea_gt_pos', 0)
+                                      + int(gt_pos.sum()))
+            out_diag['_ea_total'] = (out_diag.get('_ea_total', 0)
+                                     + int(gt_pos.shape[0]))
         merged = obj.merge(obj_index)
         n_inst = int(obj_index.max()) + 1
         pred_sem = np.zeros(n_inst, np.int64)
@@ -622,6 +627,13 @@ def validate_panoptic(task, state, loader, batch_cfg, num_classes,
     out.update({f'map_{k}' if not k.startswith('map') else k: v
                 for k, v in ap.compute().items()
                 if k in ('map', 'map_50', 'map_25', 'mar')})
+    # edge-affinity fractions from the accumulated counts
+    ea_tot = out_diag.pop('_ea_total', 0)
+    ea_correct = out_diag.pop('_ea_correct', 0)
+    ea_gt_pos = out_diag.pop('_ea_gt_pos', 0)
+    if ea_tot:
+        out_diag['edge_affinity_acc'] = ea_correct / ea_tot
+        out_diag['edge_affinity_gt_pos_frac'] = ea_gt_pos / ea_tot
     out.update(out_diag)
     out['settings'] = settings
     return out

@@ -150,6 +150,16 @@ def test_stacked_scan_matches_per_tile(small_cloud, flagship):
                                  max_tiles_per_program=1)
     for sp, cp in zip(stacked, chunked):
         np.testing.assert_array_equal(sp, cp)
+    # warmup mode runs a perturbed-variables TIMING probe, but the
+    # returned predictions must come from the unperturbed weights
+    # (regression for the round-4 advisor finding: warmup permanently
+    # perturbed `variables` and the product output with them)
+    timings = {}
+    warm = infer_nags_stacked(model, variables, nags, cfg,
+                              timings=timings, warmup=True)
+    for sp, wp in zip(stacked, warm):
+        np.testing.assert_array_equal(sp, wp)
+    assert 'warmup_compile' in timings and 'forward' in timings
 
 
 @pytest.mark.slow
@@ -171,7 +181,8 @@ def test_e2e_inference_full_pipeline(small_cloud, flagship):
     assert info['n_voxels'] > 0
     assert info['raw_points_per_sec'] > 0
     t = info['timings_sec']
-    for phase in ('tile', 'preprocess', 'pin', 'forward', 'recover'):
+    for phase in ('tile', 'preprocess', 'transform', 'pin', 'forward',
+                  'recover'):
         assert phase in t
     # the untrained model's predictions are arbitrary, but recovery
     # must broadcast segment decisions: each voxel's points agree
