@@ -97,8 +97,16 @@ def evaluate(cfg, pq=None, ap=None):
             batch = prepare_batch([nag], batch_cfg, train=False)
             out = task.eval_step(state, batch)
             n1 = int(np.asarray(batch[1].num_nodes))
-            o = SemanticSegmentationOutput(
-                np.asarray(out['logits_level1'])[:n1])
+            logits = np.asarray(out['logits_level1'])[:n1]
+            # map batch-order rows back to the stored NAG's node order
+            # (pad_nag sorts levels by parent; `low`'s super_index
+            # below is in stored order)
+            if batch[1].node_id is not None:
+                nid = np.asarray(batch[1].node_id)[:n1]
+                nag_logits = np.empty_like(logits)
+                nag_logits[nid] = logits
+                logits = nag_logits
+            o = SemanticSegmentationOutput(logits)
             low = NAG.load(ds.processed_path(cid), high=0,
                            keys_low=['sub', 'super_index'])
             d0 = low[0]

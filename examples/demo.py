@@ -80,6 +80,13 @@ def main(argv=None):
 
     n1 = int(np.asarray(batch[1].num_nodes))
     logits1 = np.asarray(outs[0])[:n1]
+    # batch rows are sorted by parent (pad_nag); map back to the NAG's
+    # stored order so y1 / super_index below line up
+    if batch[1].node_id is not None:
+        nid = np.asarray(batch[1].node_id)[:n1]
+        nag_logits = np.empty_like(logits1)
+        nag_logits[nid] = logits1
+        logits1 = nag_logits
     out = SemanticSegmentationOutput(logits1)
 
     cm = ConfusionMatrix(args.num_classes)

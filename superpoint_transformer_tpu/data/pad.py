@@ -54,6 +54,12 @@ class PaddedLevel:
     # scatter into a gather
     nbr_in_idx: Optional[jnp.ndarray] = None      # [N, K_in] int32
     nbr_in_mask: Optional[jnp.ndarray] = None     # [N, K_in] bool
+    # original (pre-sort_nag_by_super) row of each node in the batched
+    # NAG level, -1 on padding: batch-row outputs (fetched logits,
+    # argmax predictions) map back to NAG order via
+    # out_nag[node_id[:n]] = out_batch[:n] (the reference keeps the
+    # analogous SaveNodeIndex/tta_node_id, src/transforms/sampling.py:56)
+    node_id: Optional[jnp.ndarray] = None         # [N] int32
 
     @property
     def capacity(self):
@@ -212,7 +218,14 @@ def sort_nag_by_super(nag):
     """Reorder each level's nodes so `super_index` is nondecreasing
     (stable, preserves batch contiguity). Enables sorted segment ops
     for pooling and UnitSphereNorm. Top-down so parent ids are final
-    before children sort against them."""
+    before children sort against them.
+
+    Every per-node array (including a caller-stamped `node_id`) rides
+    through `Data.select`; node-id-valued side structures that select
+    does NOT touch (`obj_edge_index` is copied verbatim — it is in
+    data.py _NOT_INDEXABLE_DEFAULT) are remapped here explicitly, or
+    the device-side edge-affinity head would gather post-sort feature
+    rows with pre-sort edge endpoints."""
     for i in range(nag.end_i_level - 1, nag.start_i_level - 1, -1):
         d = nag[i]
         if 'super_index' not in d:
@@ -224,6 +237,9 @@ def sort_nag_by_super(nag):
             inv = np.empty_like(perm)
             inv[perm] = np.arange(perm.shape[0])
             new_d, _ = d.select(perm)
+            if 'obj_edge_index' in new_d:
+                new_d._store['obj_edge_index'] = \
+                    inv[new_d.obj_edge_index]
             nag[i] = new_d
             d = new_d
             # children point at level-i nodes: remap their super_index
@@ -263,6 +279,12 @@ def pad_nag(nag, num_classes=None, node_caps=None, k_caps=None,
         of scatter-adding); inference batches skip the build (an
         argsort over all edges) and the transfer.
     """
+    # stamp pre-sort row ids so batch-order outputs can be mapped back
+    # to the (batched) NAG's node order after the sort below
+    for _i in nag.levels:
+        _d = nag[_i]
+        if 'node_id' not in _d:
+            _d['node_id'] = np.arange(_d.num_nodes, dtype=np.int64)
     nag = sort_nag_by_super(nag)
     levels = []
     caps = {}
@@ -300,6 +322,10 @@ def pad_nag(nag, num_classes=None, node_caps=None, k_caps=None,
         batch_arr[:n] = batch_vec.astype(np.int32)
 
         kw = {}
+        if 'node_id' in d:
+            nid = np.full(cap, -1, dtype=np.int32)
+            nid[:n] = d.node_id.astype(np.int32)
+            kw['node_id'] = nid
         if 'x' in d:
             kw['x'] = pad0(d.x, dtype=np.float32)
         if 'node_size' in d:

@@ -99,15 +99,32 @@ def _sync_probe(batch):
     float(_JIT_CACHE['sync'](batch))
 
 
+def _level1_node_id(batch, n1):
+    """Pre-sort row of each batch-order level-1 node (pad_nag sorts
+    levels by parent; node_id maps batch rows back to the input NAG's
+    order). Identity when the NAG was already sorted."""
+    lvl1 = batch.levels[1 - batch.start_i_level]
+    if lvl1.node_id is None:
+        return np.arange(n1)
+    return np.asarray(lvl1.node_id)[:n1]
+
+
+def _to_nag_order(row_batch, nid):
+    out = np.empty_like(row_batch)
+    out[nid] = row_batch
+    return out
+
+
 def infer_nag(model, variables, nag, cfg, fetch='argmax', timings=None):
     """Whole-tile forward on a preprocessed NAG: returns the level-1
-    prediction (host numpy). `cfg` should carry pinned node_caps/k_caps
-    so repeated tiles share one compiled program. When `timings` (a
-    dict) is given, the host batch-padding seconds accumulate under
-    'pad' (feature build + static-capacity padding — per-tile parallel
-    across loader workers in production) and the host->device transfer
-    seconds under 'transfer' (through the dev relay the transfer is
-    ~10 MB/s and must be reported separately from compute)."""
+    prediction (host numpy, aligned with `nag[1]` rows). `cfg` should
+    carry pinned node_caps/k_caps so repeated tiles share one compiled
+    program. When `timings` (a dict) is given, the host batch-padding
+    seconds accumulate under 'pad' (feature build + static-capacity
+    padding — per-tile parallel across loader workers in production)
+    and the host->device transfer seconds under 'transfer' (through
+    the dev relay the transfer is ~10 MB/s and must be reported
+    separately from compute)."""
     import jax
     from .transforms import prepare_batch
     t0 = time.perf_counter()
@@ -115,6 +132,8 @@ def infer_nag(model, variables, nag, cfg, fetch='argmax', timings=None):
     batch = strip_for_inference(
         batch, getattr(getattr(model, 'net', None), 'compute_dtype',
                        None))
+    n1 = int(nag[1].num_nodes)
+    nid = _level1_node_id(batch, n1)
     if timings is not None:
         timings['pad'] = (timings.get('pad', 0.0)
                           + time.perf_counter() - t0)
@@ -125,17 +144,19 @@ def infer_nag(model, variables, nag, cfg, fetch='argmax', timings=None):
         timings['transfer'] = (timings.get('transfer', 0.0)
                                + time.perf_counter() - t0)
     logits = _jit_forward(model)(variables, batch)
-    n1 = int(nag[1].num_nodes)
     if fetch == 'device':
-        # leave the [cap1] argmax ON DEVICE; the caller fetches all
-        # tiles in one device_get (each read through the degraded
-        # relay costs ~seconds, so per-tile fetches dominate e2e)
-        return _jit_argmax(model)(logits), n1
+        # leave the [cap1] argmax ON DEVICE (batch order!); the caller
+        # fetches all tiles in one device_get and maps rows back via
+        # the returned node_id (each read through the degraded relay
+        # costs ~seconds, so per-tile fetches dominate e2e)
+        return _jit_argmax(model)(logits), n1, nid
     if fetch == 'argmax':
         # fetch only the [N1] argmax (smallest possible device read)
-        return np.asarray(jax.device_get(
+        pred = np.asarray(jax.device_get(
             _jit_argmax(model)(logits)))[:n1]
-    return np.asarray(jax.device_get(logits[0]))[:n1]
+        return _to_nag_order(pred, nid)
+    return _to_nag_order(
+        np.asarray(jax.device_get(logits[0]))[:n1], nid)
 
 
 _JIT_CACHE = {}
@@ -212,7 +233,9 @@ def infer_nags_stacked(model, variables, nags, cfg, timings=None,
     memory stays bounded and EVERY chunk reuses the one compiled
     [chunk, ...] scan program.
 
-    Returns a list of per-tile [N1] int argmax predictions (host).
+    Returns a list of per-tile [N1] int argmax predictions (host),
+    each aligned with its input `nag[1]` row order (batch-order rows
+    are mapped back through the level's node_id).
     When `timings` is a dict, accumulates 'pad', 'transfer',
     'forward', 'fetch' (and 'warmup_compile' if warmup=True) seconds.
     """
@@ -238,6 +261,9 @@ def infer_nags_stacked(model, variables, nags, cfg, timings=None,
         for nag in nags:
             b = prepare_batch([nag], cfg, train=False, device=False)
             batches.append(strip_for_inference(b, dt))
+    # per-tile batch-row -> NAG-row maps (pad_nag sorts by parent)
+    nids = [_level1_node_id(b, int(nag[1].num_nodes))
+            for b, nag in zip(batches, nags)]
     T = len(batches)
     chunk = max(1, min(max_tiles_per_program, T))
     groups = []
@@ -302,8 +328,9 @@ def infer_nags_stacked(model, variables, nags, cfg, timings=None,
         del stacked
 
     fetched = np.concatenate(out_chunks)[:T]  # [T, cap1] int32
-    return [fetched[i, :int(nag[1].num_nodes)].astype(np.int32)
-            for i, nag in enumerate(nags)]
+    return [_to_nag_order(
+        fetched[i, :int(nag[1].num_nodes)].astype(np.int32), nids[i])
+        for i, nag in enumerate(nags)]
 
 
 def e2e_inference(model, variables, data, pre_cfg=None, batch_cfg=None,

@@ -256,14 +256,15 @@ def geometric_features_np(
             add_self=False)
     for s in range(0, N, chunk):
         e = min(s + chunk, N)
-        idx_c = np.clip(nbr_idx[s:e], 0, N - 1)
-        mask_c = nbr_mask[s:e]
         if native_out is not None:
             w, V, sizes = (native_out[0][s:e], native_out[1][s:e],
                            native_out[2][s:e])
         elif k_step < 0:
-            w, V, sizes = pca(idx_c, mask_c, xyz)
+            w, V, sizes = pca(np.clip(nbr_idx[s:e], 0, N - 1),
+                              nbr_mask[s:e], xyz)
         else:
+            idx_c = np.clip(nbr_idx[s:e], 0, N - 1)
+            mask_c = nbr_mask[s:e]
             k0 = max(k_min, k_min_search)
             ks = [k for k in range(k0, K + 1)
                   if k == k0 or k % k_step == 0 or k == K]

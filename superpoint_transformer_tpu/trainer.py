@@ -582,6 +582,16 @@ def validate_panoptic(task, state, loader, batch_cfg, num_classes,
         if any(o is None for o in objs):
             continue
         obj = objs[0] if len(objs) == 1 else _cat_instance(objs)
+        # batch levels are sorted by parent (pad.sort_nag_by_super):
+        # logits/pos/edges above are in BATCH order while `obj` is in
+        # the host NAGs' pre-sort order — reindex the gt overlaps into
+        # batch order or the merge/metrics silently misalign (this
+        # was round 4's "PQ 7.5 on the demo room": the loop was fine,
+        # the gt rows were permuted)
+        if lvl1.node_id is not None:
+            nid = np.asarray(lvl1.node_id)[:n1]
+            if not np.array_equal(nid, np.arange(n1)):
+                obj = obj[nid][0]
 
         if grid_search and first:
             settings, _, _ = grid_search_panoptic_partition(

@@ -127,8 +127,13 @@ def _cross_oracle_pq(task, state, nag, cfg_eval, num_classes, stuff):
     pos = np.asarray(lvl1.pos)[:n1]
     sizes = (np.asarray(lvl1.node_size)[:n1]
              if lvl1.node_size is not None else None)
+    # batch level-1 is sorted by parent (pad.sort_nag_by_super):
+    # everything fetched above is in BATCH order; reindex the
+    # NAG-order gt (obj, y) into batch order via node_id
+    nid = (np.asarray(lvl1.node_id)[:n1]
+           if lvl1.node_id is not None else np.arange(n1))
 
-    obj = nag[1].obj
+    obj = nag[1].obj[nid][0]
     maj_obj, _, maj_y = obj.major(num_classes=num_classes)
     maj_obj, maj_y = np.asarray(maj_obj), np.asarray(maj_y)
     valid = maj_y < num_classes
@@ -139,6 +144,17 @@ def _cross_oracle_pq(task, state, nag, cfg_eval, num_classes, stuff):
     o_ea = np.where(same, 10.0, -10.0).astype(np.float32)
 
     res = {}
+    # semantic quality of the panoptic model's level-1 logits (the
+    # cross-oracle cells attribute the PQ gap to logits vs affinities;
+    # this attributes the LOGIT cell: is the semantic head itself weak,
+    # or only its per-instance aggregation?)
+    if nag[1].y is not None:
+        from ..metrics.semantic import ConfusionMatrix
+        y1 = np.asarray(nag[1].y)[nid, :num_classes]
+        cm = ConfusionMatrix(num_classes)
+        cm.update(logits.argmax(-1), y1)
+        res['semantic_miou_level1'] = float(cm.miou())
+        res['semantic_oa_level1'] = float(cm.oa())
     for name, lg, aff in (
             ('pq_trained_logits_oracle_affinity', logits, o_ea),
             ('pq_oracle_logits_trained_affinity', o_logits, ea)):

@@ -189,3 +189,119 @@ def test_e2e_inference_full_pipeline(small_cloud, flagship):
     # (spot-check one tile via its NAG is implicit in the pipeline;
     # here check prediction is piecewise-constant at SOME granularity)
     assert len(np.unique(pred)) <= 13
+
+def _shuffle_level1(nag, rng):
+    """Return a clone whose level-1 rows are randomly permuted (a
+    consistent relabeling: level-0 super_index, level-2 sub and the
+    instance graph are remapped). Models the reference-preprocessed
+    H5s, whose levels are NOT sorted by parent — exercises the
+    non-identity sort_nag_by_super path."""
+    from superpoint_transformer_tpu.data.csr import Cluster
+    nag = nag.clone()
+    d1 = nag[1]
+    n1 = d1.num_nodes
+    perm = rng.permutation(n1)
+    inv = np.empty(n1, np.int64)
+    inv[perm] = np.arange(n1)
+    new_d, _ = d1.select(perm)
+    if 'obj_edge_index' in new_d:
+        new_d._store['obj_edge_index'] = inv[new_d.obj_edge_index]
+    nag[1] = new_d
+    nag[0]._store['super_index'] = inv[np.asarray(nag[0].super_index)]
+    if nag.absolute_num_levels > 2 and nag[2].get('sub') is not None:
+        sub = nag[2].sub
+        nag[2]._store['sub'] = Cluster(sub.pointers, inv[sub.points])
+    return nag
+
+
+def test_pad_nag_node_id_and_instance_graph_alignment(small_cloud):
+    """pad_nag sorts levels by parent; node_id must map batch rows
+    back to the input order, and the instance graph's endpoints must
+    be remapped with the sort (regression: obj_edge_index is in
+    data.py _NOT_INDEXABLE_DEFAULT, so Data.select copies it verbatim
+    and the sort used to leave PRE-sort ids against POST-sort rows)."""
+    import dataclasses
+    from superpoint_transformer_tpu.transforms import (
+        BatchConfig, prepare_batch)
+    from superpoint_transformer_tpu.transforms.preprocess import (
+        preprocess_cloud)
+    from superpoint_transformer_tpu.utils.pseudo_instances import (
+        add_pseudo_instances)
+    from superpoint_transformer_tpu.inference import (
+        EVAL_BATCH_OVERRIDES)
+    pre = dict(voxel=0.2, knn=10, knn_r=5.0, knn_min_search=5,
+               pcp_regularization=(0.1, 0.2), pcp_spatial_weight=(0.1, 0.01),
+               pcp_cutoff=(10, 30), graph_gap=(5.0, 30.0))
+    nag = preprocess_cloud(small_cloud, **pre)
+    nag, _ = add_pseudo_instances(nag, num_classes=13)
+    nag = _shuffle_level1(nag, np.random.default_rng(7))
+    cfg = dataclasses.replace(BatchConfig(instance=True),
+                              **EVAL_BATCH_OVERRIDES)
+    # the instance graph is built by process_batch
+    # (on_the_fly_instance_graph) in pre-sort order — this is the
+    # edge set the padded batch must stay consistent with
+    from superpoint_transformer_tpu.transforms.prepare import (
+        process_batch)
+    big = process_batch([nag], cfg, train=False)
+    nag_ei = np.asarray(big[1].obj_edge_index)
+    batch = prepare_batch([nag], cfg, train=False, device=False)
+    lvl1 = batch[1]
+    n1 = int(lvl1.num_nodes)
+    nid = np.asarray(lvl1.node_id)[:n1]
+    # node_id is a permutation mapping batch rows -> NAG rows
+    assert np.array_equal(np.sort(nid), np.arange(n1))
+    assert not np.array_equal(nid, np.arange(n1)), \
+        'shuffled NAG should force a non-identity sort'
+    np.testing.assert_allclose(np.asarray(lvl1.pos)[:n1],
+                               np.asarray(nag[1].pos)[nid], atol=0)
+    # instance-graph endpoints, mapped back to NAG ids, must equal the
+    # NAG's own edge set (order-insensitive comparison)
+    em = np.asarray(lvl1.obj_edge_mask)
+    bei = np.asarray(lvl1.obj_edge_index)[:, em]
+    got = np.sort(nid[bei], axis=0)
+    want = np.sort(nag_ei, axis=0)
+    got = got[:, np.lexsort(got)]
+    want = want[:, np.lexsort(want)]
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_infer_nag_alignment_under_level_shuffle(small_cloud, flagship):
+    """infer_nag returns NAG-row-aligned predictions: the same cloud
+    with a permuted level-1 must produce the same prediction for the
+    same physical segment."""
+    import dataclasses
+    from superpoint_transformer_tpu.inference import (
+        infer_nag, EVAL_BATCH_OVERRIDES)
+    from superpoint_transformer_tpu.transforms import BatchConfig
+    from superpoint_transformer_tpu.transforms.preprocess import (
+        preprocess_cloud)
+    model, variables = flagship
+    pre = dict(voxel=0.2, knn=10, knn_r=5.0, knn_min_search=5,
+               pcp_regularization=(0.1, 0.2), pcp_spatial_weight=(0.1, 0.01),
+               pcp_cutoff=(10, 30), graph_gap=(5.0, 30.0))
+    nag = preprocess_cloud(small_cloud, **pre)
+    rng = np.random.default_rng(11)
+    nag_shuf = _shuffle_level1(nag, rng)
+    # the shuffle moved NAG row i to shuffled row inv[i]; recover the
+    # map from each shuffled row back to the original row
+    cfg = dataclasses.replace(BatchConfig(), **EVAL_BATCH_OVERRIDES)
+    l_orig = infer_nag(model, variables, nag, cfg, fetch='logits')
+    l_shuf = infer_nag(model, variables, nag_shuf, cfg, fetch='logits')
+    # same physical segment -> same logits (up to fp reduction-order
+    # noise: the sorted segment ops sum children in permuted order):
+    # match rows by position
+    pos_o = np.asarray(nag[1].pos)
+    pos_s = np.asarray(nag_shuf[1].pos)
+    order_o = np.lexsort(pos_o.T)
+    order_s = np.lexsort(pos_s.T)
+    np.testing.assert_allclose(pos_o[order_o], pos_s[order_s], atol=0)
+    # bf16 compute: permuted-order segment reductions shift logits
+    # by up to ~1% of their magnitude; misalignment would shift O(all)
+    np.testing.assert_allclose(l_orig[order_o], l_shuf[order_s],
+                               rtol=0.1, atol=1.0)
+    # a misalignment would scramble most rows; fp noise flips only
+    # near-tie argmaxes
+    agree = (l_orig[order_o].argmax(-1)
+             == l_shuf[order_s].argmax(-1)).mean()
+    assert agree > 0.95, agree

@@ -380,3 +380,61 @@ def test_instance_data_cat_offsets_objects():
     np.testing.assert_array_equal(c.obj, [0, 1, 2, 2])
     np.testing.assert_array_equal(c.count, [5, 3, 7, 2])
     np.testing.assert_array_equal(c.pointers, [0, 2, 3, 4])
+
+
+def test_validate_panoptic_obj_reindex_on_shuffled_nag():
+    """validate_panoptic reindexes the NAG-order gt overlaps into
+    batch order via node_id (pad_nag sorts levels by parent).
+    Regression for round 4's demo-room PQ: a level-1 permutation in
+    the stored NAG silently misaligned obj.merge with the batch-order
+    partition. Pins (a) the reindex mechanics and (b) a finite PQ on
+    shuffled inputs through the full validation path."""
+    import jax
+    from superpoint_transformer_tpu.trainer import validate_panoptic
+    from superpoint_transformer_tpu.transforms.prepare import (
+        BatchConfig, prepare_batch)
+    from superpoint_transformer_tpu.utils.synthetic import random_nag
+    from superpoint_transformer_tpu.models.spt import SPT
+    from tests.test_inference import _shuffle_level1
+
+    nag = random_nag(seed=3, n_points=300, with_instances=True)
+    nag = _shuffle_level1(nag, np.random.default_rng(5))
+
+    cfg = BatchConfig(sample_graph_r=-1, sample_segment_ratio=0,
+                      instance=True)
+    batch = prepare_batch([nag.clone()], cfg, train=False,
+                          device=False)
+    lvl1 = batch[1]
+    n1 = int(lvl1.num_nodes)
+    nid = np.asarray(lvl1.node_id)[:n1]
+    assert not np.array_equal(nid, np.arange(n1)), \
+        'shuffle should force a non-identity sort'
+    # reindex mechanics: majors of the reindexed overlaps equal the
+    # NAG-order majors gathered at node_id (exact, data-independent)
+    obj = nag[1].obj
+    _, _, maj = obj.major(num_classes=13)
+    obj_b = obj[nid][0]
+    _, _, maj_b = obj_b.major(num_classes=13)
+    np.testing.assert_array_equal(np.asarray(maj_b),
+                                  np.asarray(maj)[nid])
+
+    # full path: validation on the shuffled NAG produces finite PQ
+    net = SPT(point_mlp=(12, 16, 32), down_dim=(16, 16),
+              down_in_mlp=((4 + 32, 16), (4 + 16, 16)),
+              down_num_heads=2, down_num_blocks=1, up_dim=(16,),
+              up_in_mlp=((4 + 16 + 16, 16),), h_edge_mlp=(18, 8),
+              in_rpe_dim=8, qk_dim=2, no_ffn=True, k_rpe=True,
+              q_rpe=True, v_rpe=True, use_diameter_parent=True,
+              output_stage_wise=True, num_graphs=1)
+    task = PanopticTask(net=net, num_classes=13, total_steps=10,
+                        warmup_steps=1)
+    example = prepare_batch([nag.clone()], cfg, train=False)
+    state = task.init_state(jax.random.PRNGKey(0), example)
+
+    class _Loader:
+        def __iter__(self):
+            yield [nag.clone()]
+
+    out = validate_panoptic(task, state, _Loader(), cfg,
+                            num_classes=13)
+    assert np.isfinite(out['pq'])
