@@ -205,12 +205,18 @@ def _eigenentropy(w, epsilon=1e-3):
 def geometric_features_np(
         xyz, nbr_idx, nbr_mask, k_min=5, k_step=-1, k_min_search=25,
         add_self=True, orient_normal_z=True, verticality_x2=True,
-        chunk=200_000):
+        chunk=200_000, raw_invalid=False):
     """Host (numpy/LAPACK) twin of `geometric_features` for the
     preprocessing path: preprocessing is host-orchestrated and pulling
     [N, ~9] features back from a remote device costs more than the
     whole computation (on the dev tunnel, catastrophically more).
     Chunked to bound the [chunk, K, 3] gather buffers.
+
+    `raw_invalid=True` promises `nbr_idx` already carries -1 at every
+    invalid slot (the KNN output convention): the native path then
+    feeds the table to the C++ kernel with ONE int32 cast — no
+    self-prepend concat, no where() masking pass (those two passes
+    cost more than the eigensolver itself at aerial-tile sizes).
 
     Matches the device version numerically (same SPG formulas,
     covariance normalized by n, sqrt eigenvalues, x2 verticality,
@@ -221,7 +227,22 @@ def geometric_features_np(
     nbr_idx = np.asarray(nbr_idx)
     nbr_mask = np.asarray(nbr_mask, bool)
     N = xyz.shape[0]
-    if add_self:
+
+    native_out = None
+    if k_step < 0:
+        # C++/OpenMP kernel when built (native/eigen_features.cpp):
+        # two-pass covariance straight off the index table + Jacobi
+        # eigensolver — no [N, K, 3] gather buffers. Self-prepending
+        # happens INSIDE the kernel (add_self), so the table goes in
+        # as-is.
+        from .native import eigen_features
+        tab = (nbr_idx if raw_invalid
+               else np.where(nbr_mask, nbr_idx, -1))
+        native_out = eigen_features(xyz, tab, add_self=add_self)
+
+    if add_self and native_out is None:
+        # the numpy fallback paths need the explicit self column; the
+        # native kernel already handled add_self internally
         nbr_idx = np.concatenate(
             [np.arange(N, dtype=nbr_idx.dtype)[:, None], nbr_idx], 1)
         nbr_mask = np.concatenate(
@@ -244,16 +265,6 @@ def geometric_features_np(
     out = {k: [] for k in ('linearity', 'planarity', 'scattering',
                            'verticality', 'curvature', 'length',
                            'surface', 'volume', 'normal')}
-    native_out = None
-    if k_step < 0:
-        # C++/OpenMP kernel when built (native/eigen_features.cpp):
-        # two-pass covariance straight off the index table + Jacobi
-        # eigensolver — no [N, K, 3] gather buffers
-        from .native import eigen_features
-        # self was already prepended to the table above
-        native_out = eigen_features(
-            xyz, np.where(nbr_mask, nbr_idx, -1).astype(np.int32),
-            add_self=False)
     for s in range(0, N, chunk):
         e = min(s + chunk, N)
         if native_out is not None:

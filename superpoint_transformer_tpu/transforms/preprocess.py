@@ -167,7 +167,11 @@ def knn_search(data, k=45, r_max=2.0, backend='host'):
         data['neighbor_distance'] = np.asarray(dist)
         return data
     nbr, dist = radius_knn(data.pos, r=r_max, k=k, exclude_self=True)
-    data['neighbor_index'] = nbr.astype(np.int64)
+    # keep the kernel's int32 (an int64 upcast of the [N, K] table
+    # costs ~0.7 s/500k-pt tile and nothing downstream needs it —
+    # numpy fancy indexing takes int32, and H5 I/O compresses to the
+    # smallest dtype anyway)
+    data['neighbor_index'] = nbr
     data['neighbor_distance'] = dist
     return data
 
@@ -193,10 +197,13 @@ def point_features(data, keys=('linearity', 'planarity', 'scattering',
     if need_geof:
         nbr = data.neighbor_index
         mask = nbr >= 0
+        # raw_invalid: the KNN table already carries -1 at invalid
+        # slots — the native eigen path consumes it with one int32
+        # cast instead of a maximum() + where() + concat round-trip
         feats = geometric_features_np(
-            data.pos, np.maximum(nbr, 0), mask,
+            data.pos, nbr, mask,
             k_min=max(k_min, 1), k_step=k_step,
-            k_min_search=k_min_search)
+            k_min_search=k_min_search, raw_invalid=True)
         for k in need_geof:
             if overwrite or k not in data:
                 data[k] = np.asarray(feats[k], dtype=np.float32)

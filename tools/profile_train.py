@@ -194,7 +194,7 @@ def main(only=()):
             in_mlp=tuple(net.point_mlp), mlp_drop=net.point_drop,
             norm=net.norm, mlp_norm=net.mlp_norm,
             num_graphs=4, compute_dtype=net.compute_dtype)
-        pvars = jax.jit(ps.init, static_argnames='train')(
+        pvars = jax.jit(ps.init, static_argnames=('train', 'num_super'))(
             jax.random.PRNGKey(0), lvl0.x, lvl0.batch, pos=lvl0.pos,
             node_size=lvl0.node_size, super_index=lvl0.super_index,
             num_super=lvl1.capacity, mask=lvl0.node_mask, train=False)
