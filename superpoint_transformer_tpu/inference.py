@@ -72,7 +72,17 @@ def strip_for_inference(batch, compute_dtype=None):
         dt = jnp.bfloat16
     levels = []
     for lvl in batch.levels:
-        kw = {'y': None, 'nbr_in_idx': None, 'nbr_in_mask': None}
+        # node_id is host-side metadata (batch-row -> NAG-row map);
+        # callers read it from the HOST batch before stripping —
+        # shipping [N] int32 per level through a ~10 MB/s dev relay
+        # buys nothing on device
+        kw = {'y': None, 'nbr_in_idx': None, 'nbr_in_mask': None,
+              'node_id': None}
+        if lvl.batch is not None:
+            # graph ids are tiny ints (-1 padding, < num_graphs);
+            # int8 transfers a quarter of the bytes and jnp comparisons
+            # / one-hots consume it unchanged
+            kw['batch'] = np.asarray(lvl.batch).astype(np.int8)
         if dt is not None:
             for f in ('x', 'edge_feat', 'v_edge_attr'):
                 v = getattr(lvl, f)
@@ -129,11 +139,11 @@ def infer_nag(model, variables, nag, cfg, fetch='argmax', timings=None):
     from .transforms import prepare_batch
     t0 = time.perf_counter()
     batch = prepare_batch([nag], cfg, train=False, device=False)
+    n1 = int(nag[1].num_nodes)
+    nid = _level1_node_id(batch, n1)  # BEFORE strip (strip drops it)
     batch = strip_for_inference(
         batch, getattr(getattr(model, 'net', None), 'compute_dtype',
                        None))
-    n1 = int(nag[1].num_nodes)
-    nid = _level1_node_id(batch, n1)
     if timings is not None:
         timings['pad'] = (timings.get('pad', 0.0)
                           + time.perf_counter() - t0)
@@ -248,22 +258,20 @@ def infer_nags_stacked(model, variables, nags, cfg, timings=None,
 
     t0 = time.perf_counter()
     dt = getattr(getattr(model, 'net', None), 'compute_dtype', None)
-    batches = []
-    if processed is not None:
-        for big in processed:
-            b = pad_nag(big, num_classes=cfg.num_classes,
+    batches, nids = [], []
+    for ti, nag in enumerate(nags):
+        if processed is not None:
+            b = pad_nag(processed[ti], num_classes=cfg.num_classes,
                         node_caps=cfg.node_caps, k_caps=cfg.k_caps,
                         k_in_caps=cfg.k_in_caps,
                         bucket_mode=cfg.bucket_mode, device=False,
                         with_transpose=False)
-            batches.append(strip_for_inference(b, dt))
-    else:
-        for nag in nags:
+        else:
             b = prepare_batch([nag], cfg, train=False, device=False)
-            batches.append(strip_for_inference(b, dt))
-    # per-tile batch-row -> NAG-row maps (pad_nag sorts by parent)
-    nids = [_level1_node_id(b, int(nag[1].num_nodes))
-            for b, nag in zip(batches, nags)]
+        # batch-row -> NAG-row map, read BEFORE strip (strip drops
+        # node_id from the transferred pytree)
+        nids.append(_level1_node_id(b, int(nag[1].num_nodes)))
+        batches.append(strip_for_inference(b, dt))
     T = len(batches)
     chunk = max(1, min(max_tiles_per_program, T))
     groups = []
