@@ -31,7 +31,7 @@ def split_nag_spatially(nag, frac=0.5, axis=0, gap=0.0):
 
 def run_heldout(train_nag, eval_nag, steps=1000, crops=4, seed=0,
                 num_classes=13, eval_every=0, task=None, cfg=None,
-                log=print):
+                log=print, pool=48):
     """Train the flagship on radius crops of `train_nag`, evaluate on
     the whole `eval_nag`. Returns a dict with the held-out mIoU/OA,
     the eval half's partition-oracle ceiling, and the train losses.
@@ -61,31 +61,37 @@ def run_heldout(train_nag, eval_nag, steps=1000, crops=4, seed=0,
         cfg, sample_graph_r=-1, sample_segment_ratio=0,
         rgb_autocontrast=0, rgb_drop=0)
 
-    batch0 = prepare_batch([train_nag] * crops, cfg_train, train=True,
-                           rng=np.random.default_rng(seed))
-    state = task.init_state(jax.random.PRNGKey(seed), batch0)
+    # Training cycles through a fixed pool of pre-built
+    # device-resident crop batches (same pattern as the SuperCluster
+    # demo): a per-step host prepare + device_put through the dev
+    # relay leaks the transfer queue's host copies — a 3000-step
+    # fresh-batch-per-step run climbed ~4 GB/min of host RSS — and
+    # serializes host work into every step.
+    pool_n = max(1, min(pool, steps or 1))
+    batches = [prepare_batch([train_nag] * crops, cfg_train,
+                             train=True, rng=rng)
+               for _ in range(pool_n)]
+    state = task.init_state(jax.random.PRNGKey(seed), batches[0])
     key = jax.random.PRNGKey(seed + 1)
 
-    losses = []
     t0 = time.time()
-    dev_loss_first = None
+    dev_loss_first = dev_loss_last = None
     for s in range(steps):
-        batch = prepare_batch([train_nag] * crops, cfg_train,
-                              train=True, rng=rng)
         key, sub = jax.random.split(key)
-        state, metrics = task.train_step(state, batch, sub)
+        state, metrics = task.train_step(state, batches[s % pool_n],
+                                         sub)
         if s == 0:
             dev_loss_first = metrics['loss']
+        dev_loss_last = metrics['loss']
         if eval_every and (s + 1) % eval_every == 0:
             em = _eval(task, state, eval_nag, cfg_eval, num_classes)
             log(f'[step {s + 1}] heldout miou={em["miou"]:.2f} '
                 f'oa={em["oa"]:.2f} ({time.time() - t0:.0f}s)')
-        losses.append(metrics['loss'])
     # single host fetch at the end (axon: device reads degrade dispatch)
     loss_first = float(np.asarray(jax.device_get(dev_loss_first))) \
         if dev_loss_first is not None else None
-    loss_last = float(np.asarray(jax.device_get(losses[-1]))) \
-        if losses else None
+    loss_last = float(np.asarray(jax.device_get(dev_loss_last))) \
+        if dev_loss_last is not None else None
 
     em = _eval(task, state, eval_nag, cfg_eval, num_classes)
 
