@@ -14,7 +14,8 @@ __all__ = ['run_supercluster_demo']
 
 def run_supercluster_demo(nag, steps=600, crops=4, seed=0,
                           num_classes=13, task=None, log=print,
-                          pool=24, edge_affinity_loss_weights=None):
+                          pool=24, edge_affinity_loss_weights=None,
+                          experiment='panoptic/s3dis'):
     """Train PanopticTask on radius crops of `nag` (semantic heads +
     edge-affinity head on the level-1 instance graph), then run the
     instance partition + PQ hyperparameter grid search on the whole
@@ -38,7 +39,8 @@ def run_supercluster_demo(nag, steps=600, crops=4, seed=0,
     log(f'pseudo-instances: {info}')
 
     if task is None:
-        task = _default_panoptic_task(steps, crops, num_classes)
+        task = _default_panoptic_task(steps, crops, num_classes,
+                                      experiment=experiment)
     if edge_affinity_loss_weights is not None:
         # the pseudo-instance graph is extremely positive-skewed
         # (connected components make ~92% of instance-graph edges
@@ -166,14 +168,17 @@ def _cross_oracle_pq(task, state, nag, cfg_eval, num_classes, stuff):
     return res
 
 
-def _default_panoptic_task(steps, crops, num_classes):
+def _default_panoptic_task(steps, crops, num_classes,
+                           experiment='panoptic/s3dis'):
     """The SuperCluster task exactly as the CLI builds it
-    (configs/train.yaml + experiment=panoptic/s3dis)."""
+    (configs/train.yaml + experiment=panoptic/s3dis, or the
+    with-stuff variant — ceiling/floor/wall merged to one segment
+    per class, reference utils/instance.py:649-672)."""
     import os
     from ..config.loader import load_config
     from ..experiment import build_task
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     cfg = load_config(os.path.join(repo, 'configs'), 'train',
-                      ['experiment=panoptic/s3dis'])
+                      [f'experiment={experiment}'])
     return build_task(cfg, total_steps=steps, num_graphs=crops)
