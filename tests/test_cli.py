@@ -52,6 +52,37 @@ def test_train_then_eval_cli(tmp_path):
     pred = np.loadtxt(sub)
     assert pred.ndim == 1 and pred.size > 100
 
+    # alignment: full-res predictions are one class per STORED level-1
+    # segment broadcast through the stored super_index/sub maps — so
+    # grouped by the stored NAG's segments they must be constant.
+    # (Regression for the round-5 level-sort bug: batch-order logits
+    # written against stored-order maps scramble segments and this
+    # purity check fails.)
+    import glob
+    from superpoint_transformer_tpu.data import NAG
+    h5s = [p for p in glob.glob(osp.join(root, 'processed', '**',
+                                         '*.h5'), recursive=True)
+           if 'Area_5' in p]
+    assert h5s, 'processed test cloud not found'
+    low = NAG.load(h5s[0], high=0, keys_low=['sub', 'super_index'])
+    d0 = low[0]
+    seg_of_voxel = np.asarray(d0.super_index)
+    sub_cluster = d0.get('sub')
+    if sub_cluster is not None:
+        voxel_of_raw = np.empty(sub_cluster.num_items, np.int64)
+        voxel_of_raw[np.asarray(sub_cluster.points)] = np.repeat(
+            np.arange(seg_of_voxel.shape[0]),
+            np.asarray(sub_cluster.sizes))
+        seg_of_raw = seg_of_voxel[voxel_of_raw]
+    else:
+        seg_of_raw = seg_of_voxel
+    assert seg_of_raw.shape[0] == pred.shape[0]
+    order = np.argsort(seg_of_raw, kind='stable')
+    ps, ss = pred[order], seg_of_raw[order]
+    same_seg = ss[1:] == ss[:-1]
+    assert np.all(ps[1:][same_seg] == ps[:-1][same_seg]), \
+        'full-res predictions are not constant per stored segment'
+
 
 @pytest.mark.slow
 def test_eval_s3dis_6fold_cli(tmp_path):
