@@ -238,6 +238,16 @@ def _bench_e2e_inference():
     info['from_preprocessed_raw_points_per_sec'] = round(n / dev, 1)
     info['from_preprocessed_raw_points_per_sec_ex_transfer'] = round(
         n / max(dev - t['transfer'], 1e-9), 1)
+    # protocol-matched PRODUCTION projection: per-tile transform+pad
+    # fan out across ASSUMED_CORES loader workers, transfer rides
+    # PCIe (excluded; the relay's ~10 MB/s is dev-only), the chip and
+    # the host recover remain serial — the direct analogue of the
+    # reference's 10.1 s-on-preprocessed-tiles protocol on a real
+    # TPU-VM host (full-size 18M run: docs/performance.md)
+    proj_pm = ((t['transform'] + t['pad']) / ASSUMED_CORES
+               + t['forward'] + t['fetch'] + t['recover'])
+    info['from_preprocessed_projected_16core_pts_per_sec'] = round(
+        n / proj_pm, 1)
     return info
 
 
@@ -577,6 +587,8 @@ def main():
                 e2e['from_preprocessed_raw_points_per_sec']),
             'inference_from_preprocessed_ex_transfer': (
                 e2e['from_preprocessed_raw_points_per_sec_ex_transfer']),
+            'inference_from_preprocessed_projected_16core': (
+                e2e['from_preprocessed_projected_16core_pts_per_sec']),
             'train_params_finite': True,
         },
     }))
