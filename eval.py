@@ -97,15 +97,14 @@ def evaluate(cfg, pq=None, ap=None):
             batch = prepare_batch([nag], batch_cfg, train=False)
             out = task.eval_step(state, batch)
             n1 = int(np.asarray(batch[1].num_nodes))
-            logits = np.asarray(out['logits_level1'])[:n1]
+            from superpoint_transformer_tpu.inference import (
+                level1_node_id, to_nag_order)
             # map batch-order rows back to the stored NAG's node order
             # (pad_nag sorts levels by parent; `low`'s super_index
             # below is in stored order)
-            if batch[1].node_id is not None:
-                nid = np.asarray(batch[1].node_id)[:n1]
-                nag_logits = np.empty_like(logits)
-                nag_logits[nid] = logits
-                logits = nag_logits
+            logits = to_nag_order(
+                np.asarray(out['logits_level1'])[:n1],
+                level1_node_id(batch, n1))
             o = SemanticSegmentationOutput(logits)
             low = NAG.load(ds.processed_path(cid), high=0,
                            keys_low=['sub', 'super_index'])

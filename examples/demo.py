@@ -78,15 +78,13 @@ def main(argv=None):
     outs = jax.jit(lambda v, b: model.apply(v, b, train=False))(
         variables, batch)
 
+    from superpoint_transformer_tpu.inference import (
+        level1_node_id, to_nag_order)
     n1 = int(np.asarray(batch[1].num_nodes))
-    logits1 = np.asarray(outs[0])[:n1]
     # batch rows are sorted by parent (pad_nag); map back to the NAG's
     # stored order so y1 / super_index below line up
-    if batch[1].node_id is not None:
-        nid = np.asarray(batch[1].node_id)[:n1]
-        nag_logits = np.empty_like(logits1)
-        nag_logits[nid] = logits1
-        logits1 = nag_logits
+    logits1 = to_nag_order(np.asarray(outs[0])[:n1],
+                           level1_node_id(batch, n1))
     out = SemanticSegmentationOutput(logits1)
 
     cm = ConfusionMatrix(args.num_classes)

@@ -279,12 +279,16 @@ def pad_nag(nag, num_classes=None, node_caps=None, k_caps=None,
         of scatter-adding); inference batches skip the build (an
         argsort over all edges) and the transfer.
     """
-    # stamp pre-sort row ids so batch-order outputs can be mapped back
-    # to the (batched) NAG's node order after the sort below
-    for _i in nag.levels:
-        _d = nag[_i]
-        if 'node_id' not in _d:
-            _d['node_id'] = np.arange(_d.num_nodes, dtype=np.int64)
+    # Stamp pre-sort row ids so batch-order outputs can be mapped back
+    # to the (batched) NAG's node order after the sort below. ONLY
+    # level 1: it is the only level whose batch-order outputs leave
+    # the device (level-1 logits/argmax; full-res recovery uses the
+    # HOST NAG's level-0 maps), and node_id is a pytree leaf that
+    # rides every device transfer — a level-0 stamp would ship an
+    # unread [cap0] int32 with every batch.
+    if 1 in nag.levels and 'node_id' not in nag[1]:
+        nag[1]['node_id'] = np.arange(nag[1].num_nodes,
+                                      dtype=np.int64)
     nag = sort_nag_by_super(nag)
     levels = []
     caps = {}

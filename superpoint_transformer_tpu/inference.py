@@ -17,7 +17,7 @@ import numpy as np
 
 __all__ = ['tile_cloud', 'infer_nag', 'infer_nags_stacked',
            'e2e_inference', 'strip_for_inference',
-           'EVAL_BATCH_OVERRIDES']
+           'level1_node_id', 'to_nag_order', 'EVAL_BATCH_OVERRIDES']
 
 # whole-tile evaluation: no cropping/subsampling, no augmentation
 EVAL_BATCH_OVERRIDES = dict(sample_graph_r=-1, sample_segment_ratio=0,
@@ -78,10 +78,12 @@ def strip_for_inference(batch, compute_dtype=None):
         # buys nothing on device
         kw = {'y': None, 'nbr_in_idx': None, 'nbr_in_mask': None,
               'node_id': None}
-        if lvl.batch is not None:
+        if lvl.batch is not None and batch.num_graphs <= 127:
             # graph ids are tiny ints (-1 padding, < num_graphs);
             # int8 transfers a quarter of the bytes and jnp comparisons
-            # / one-hots consume it unchanged
+            # / one-hots consume it unchanged. Guarded: ids > 127
+            # would silently wrap (the same trap the scanned argmax
+            # avoids by staying int32)
             kw['batch'] = np.asarray(lvl.batch).astype(np.int8)
         if dt is not None:
             for f in ('x', 'edge_feat', 'v_edge_attr'):
@@ -109,7 +111,7 @@ def _sync_probe(batch):
     float(_JIT_CACHE['sync'](batch))
 
 
-def _level1_node_id(batch, n1):
+def level1_node_id(batch, n1):
     """Pre-sort row of each batch-order level-1 node (pad_nag sorts
     levels by parent; node_id maps batch rows back to the input NAG's
     order). Identity when the NAG was already sorted."""
@@ -119,7 +121,9 @@ def _level1_node_id(batch, n1):
     return np.asarray(lvl1.node_id)[:n1]
 
 
-def _to_nag_order(row_batch, nid):
+def to_nag_order(row_batch, nid):
+    """Scatter batch-order rows back to NAG order
+    (out[nid[r]] = row_batch[r]); rows may be 1D or 2D."""
     out = np.empty_like(row_batch)
     out[nid] = row_batch
     return out
@@ -140,7 +144,7 @@ def infer_nag(model, variables, nag, cfg, fetch='argmax', timings=None):
     t0 = time.perf_counter()
     batch = prepare_batch([nag], cfg, train=False, device=False)
     n1 = int(nag[1].num_nodes)
-    nid = _level1_node_id(batch, n1)  # BEFORE strip (strip drops it)
+    nid = level1_node_id(batch, n1)  # BEFORE strip (strip drops it)
     batch = strip_for_inference(
         batch, getattr(getattr(model, 'net', None), 'compute_dtype',
                        None))
@@ -164,8 +168,8 @@ def infer_nag(model, variables, nag, cfg, fetch='argmax', timings=None):
         # fetch only the [N1] argmax (smallest possible device read)
         pred = np.asarray(jax.device_get(
             _jit_argmax(model)(logits)))[:n1]
-        return _to_nag_order(pred, nid)
-    return _to_nag_order(
+        return to_nag_order(pred, nid)
+    return to_nag_order(
         np.asarray(jax.device_get(logits[0]))[:n1], nid)
 
 
@@ -270,7 +274,7 @@ def infer_nags_stacked(model, variables, nags, cfg, timings=None,
             b = prepare_batch([nag], cfg, train=False, device=False)
         # batch-row -> NAG-row map, read BEFORE strip (strip drops
         # node_id from the transferred pytree)
-        nids.append(_level1_node_id(b, int(nag[1].num_nodes)))
+        nids.append(level1_node_id(b, int(nag[1].num_nodes)))
         batches.append(strip_for_inference(b, dt))
     T = len(batches)
     chunk = max(1, min(max_tiles_per_program, T))
@@ -336,7 +340,7 @@ def infer_nags_stacked(model, variables, nags, cfg, timings=None,
         del stacked
 
     fetched = np.concatenate(out_chunks)[:T]  # [T, cap1] int32
-    return [_to_nag_order(
+    return [to_nag_order(
         fetched[i, :int(nag[1].num_nodes)].astype(np.int32), nids[i])
         for i, nag in enumerate(nags)]
 

@@ -152,7 +152,9 @@ def _cross_oracle_pq(task, state, nag, cfg_eval, num_classes, stuff):
     # or only its per-instance aggregation?)
     if nag[1].y is not None:
         from ..metrics.semantic import ConfusionMatrix
-        y1 = np.asarray(nag[1].y)[nid, :num_classes]
+        y1 = np.asarray(nag[1].y)[nid]
+        if y1.ndim == 2:
+            y1 = y1[:, :num_classes]  # histogram labels
         cm = ConfusionMatrix(num_classes)
         cm.update(logits.argmax(-1), y1)
         res['semantic_miou_level1'] = float(cm.miou())
